@@ -1,0 +1,109 @@
+# Experiment matrix driver (reference Makefile rebuilt for cniic-tpu).
+#
+# Same sweep lists, same CSV-per-codec protocol, same `.bak`/`.cp` result
+# caching for the slow codecs, same tracked diagram targets.
+
+all: data output
+
+clean:
+	rm -r data output
+
+data:
+	mkdir -p data
+
+output:
+	mkdir -p output
+
+# https://data.vision.ee.ethz.ch/cvl/DIV2K/  (no egress in CI images: drop
+# the zip into data/ by hand, or use `make synth-corpus`)
+data/DIV2K_valid_HR.zip:
+	wget -P data/ http://data.vision.ee.ethz.ch/cvl/DIV2K/DIV2K_valid_HR.zip
+
+data/DIV2K_valid_HR: data/DIV2K_valid_HR.zip
+	unzip data/DIV2K_valid_HR.zip -d data/
+
+# Deterministic synthetic stand-in corpus when DIV2K can't be fetched
+synth-corpus:
+	python scripts/make_synth_corpus.py data/synth 24
+
+LOSSLESS_DIAGRAM = output/boxplot.png
+LOSSY_DIAGRAM = output/error_vs_compression.png
+TRACKED_DIAGRAMS = lossy_status.png lossless_status.png
+
+RUN = time python -m cniic_tpu
+DATASET = data/DIV2K_valid_HR/*
+
+LOSSLESS_CODECS = $(HUFMAN) $(ZIP_DICT) $(ZIP_BACK_CP) $(HILBERT)
+HUFMAN = output/Hufman.csv
+ZIP_DICT = output/zip-dict.csv
+ZIP_BACK_ROOT = output/zip-back.csv
+ZIP_BACK_CP = $(ZIP_BACK_ROOT).cp
+HILBERT = output/hilbert-rle.csv output/hilbert-zip.csv output/delta.csv
+
+LOSSY_CODECS = $(CLUSTER_COLORS) $(VORONOI) $(HILBERT_APPROX)
+CLUSTER_COLORS = output/cluster-colors_16.csv.cp output/cluster-colors_32.csv.cp output/cluster-colors_64.csv.cp \
+	output/cluster-colors_128.csv.cp output/cluster-colors_256.csv.cp
+VORONOI = output/voronoi_64.csv.cp output/voronoi_128.csv.cp output/voronoi_256.csv.cp output/voronoi_512.csv.cp \
+	output/voronoi_1024.csv.cp output/voronoi_2048.csv.cp
+HILBERT_APPROX = output/hilbert-rle-approx_1.csv output/hilbert-rle-approx_2.csv output/hilbert-rle-approx_4.csv \
+	output/hilbert-rle-approx_8.csv output/hilbert-rle-approx_16.csv
+
+diagrams: $(TRACKED_DIAGRAMS)
+
+lossless_status.png: $(LOSSLESS_DIAGRAM)
+	cp $(LOSSLESS_DIAGRAM) lossless_status.png
+
+lossy_status.png: $(LOSSY_DIAGRAM)
+	cp $(LOSSY_DIAGRAM) lossy_status.png
+
+PYTHON3 = PYTHONPATH="$(PYTHONPATH):scripts/" python3
+SCRIPTS_LOC = scripts/diagrams
+
+$(LOSSLESS_DIAGRAM): $(LOSSLESS_CODECS) $(SCRIPTS_LOC)/boxplot.py
+	$(PYTHON3) $(SCRIPTS_LOC)/boxplot.py
+
+$(LOSSY_DIAGRAM): $(LOSSLESS_CODECS) $(LOSSY_CODECS) $(SCRIPTS_LOC)/error_vs_compression_plot.py
+	$(PYTHON3) $(SCRIPTS_LOC)/error_vs_compression_plot.py
+
+$(HUFMAN):
+	$(RUN) --codec=hufman $(DATASET)
+
+# slow codecs keep a .bak so multi-hour runs aren't repeated
+output/%.cp: output/%.bak output/%
+	cp output/$*.bak output/$*
+	touch output/$*.cp
+
+output/cluster-colors_%.csv.bak:
+	$(RUN) --codec="cluster-colors($*)" $(DATASET)
+	cp output/cluster-colors_$*.csv output/cluster-colors_$*.csv.bak
+
+output/voronoi_%.csv.bak:
+	$(RUN) --codec="voronoi($*)" $(DATASET)
+	cp output/voronoi_$*.csv output/voronoi_$*.csv.bak
+
+$(ZIP_DICT):
+	$(RUN) --codec="zip(dict)" $(DATASET)
+
+$(ZIP_BACK_ROOT).bak:
+	$(RUN) --codec="zip(back)" $(DATASET)
+	cp $(ZIP_BACK_ROOT) $(ZIP_BACK_ROOT).bak
+
+output/hilbert-rle.csv:
+	$(RUN) --codec="hilbert(rle)" $(DATASET)
+
+output/hilbert-rle-approx_%.csv:
+	$(RUN) --codec="hilbert(rle($*))" $(DATASET)
+
+output/hilbert-zip.csv:
+	$(RUN) --codec="hilbert(zip)" $(DATASET)
+
+output/delta.csv:
+	$(RUN) --codec="delta" $(DATASET)
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+.PHONY: all clean diagrams synth-corpus test bench

@@ -1,0 +1,100 @@
+"""CLI entry point (reference src/main.rs).
+
+Usage mirrors the reference binary:
+
+    python -m cniic_tpu --codec=<spec> <img files...>
+    python -m cniic_tpu --special=hilbert <img files...>
+
+``--special`` is tried first, then ``--codec`` (main.rs:17-21). The hilbert
+special dumps three CSVs per image (rect/small/large traversals,
+main.rs:31-49) consumed by the analysis scripts; the header is
+``red,blue,green`` — the reference's exact (mislabeled) header — while the
+values are r,g,b.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+
+from . import hilbert, image_io, runner
+from .codecs import from_spec
+
+USAGE = """Usage: python -m cniic_tpu --codec=<codec> [<img file>..]
+       python -m cniic_tpu --special=hilbert [<img file>..]
+Available codecs:
+  hufman
+  zip(dict) | zip(back)
+  hilbert(rle) | hilbert(rle(<d>)) | hilbert(zip)
+  delta
+  cluster-colors(<n>) | ccol(<n>)
+  voronoi(<n>)"""
+
+
+def _next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+def _under_output(path: str, new_ext: str, output_dir: str = "output") -> str:
+    base = os.path.basename(path)
+    stem = os.path.splitext(base)[0]
+    return os.path.join(output_dir, stem + "." + new_ext)
+
+
+def _special_hilbert(paths) -> None:
+    os.makedirs("output", exist_ok=True)
+    for p in paths:
+        img = image_io.load_image(p)
+        h, w = img.shape[:2]
+
+        def dump(coords, suffix):
+            out = _under_output(p, f"{suffix}.hilbert.csv")
+            with open(out, "w", newline="") as fh:
+                cw = csv.writer(fh)
+                cw.writerow(["red", "blue", "green"])  # reference header (main.rs:38)
+                for x, y in coords:
+                    px = img[y, x]
+                    cw.writerow([px[0], px[1], px[2]])
+
+        dump(hilbert.scan_coords(w, h), "rect")
+
+        # largest "inscribed" power-of-two square (hilbert.rs:15-22 formula)
+        so = min(_next_pow2(w) >> 1, _next_pow2(h) >> 1)
+        dump(hilbert.scan_coords(so, so), "small")
+
+        # smallest covering square, out-of-bounds filtered (hilbert.rs:25-32)
+        so = max(_next_pow2(w), _next_pow2(h))
+        coords = hilbert.scan_coords(so, so)
+        dump(((x, y) for x, y in coords if x < w and y < h), "large")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(USAGE, file=sys.stderr)
+        return 1
+    command, files = argv[0], argv[1:]
+
+    if command.startswith("--special="):
+        special = command[len("--special="):]
+        if special != "hilbert":
+            print(f"Invalid special command: {special!r}", file=sys.stderr)
+            return 1
+        _special_hilbert(files)
+        return 0
+
+    if command.startswith("--codec="):
+        try:
+            codec = from_spec(command[len("--codec="):])
+        except Exception as e:
+            print(f"Malformed codec argument\n{e}", file=sys.stderr)
+            return 1
+        res = runner.measure_all(codec, files)
+        print(f"{codec.name}: {len(res.rows)} images ok, {len(res.failures)} failed; "
+              f"mean ratio {res.mean_ratio:.3f}%, mean MSE {res.mean_error:.3f}; "
+              f"encode {res.encode_mps:.2f} MP/s")
+        return 0 if not res.failures else 2
+
+    print(USAGE, file=sys.stderr)
+    return 1

@@ -1,0 +1,38 @@
+"""Codec interface (reference src/codec.rs:14-19 `trait Codec`).
+
+Images are numpy ``uint8[H, W, 3]`` arrays; alpha is dropped at load time
+(the reference calls ``.to_rgb()`` everywhere). ``encode`` returns the
+compressed byte string; ``decode`` accepts anything ByteReader accepts and
+returns the reconstructed image or raises :class:`cniic_tpu.wire.WireError`.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+
+class Codec(abc.ABC):
+    @abc.abstractmethod
+    def encode(self, img: np.ndarray) -> bytes: ...
+
+    @abc.abstractmethod
+    def decode(self, data) -> np.ndarray: ...
+
+    @property
+    @abc.abstractmethod
+    def name(self) -> str: ...
+
+    @property
+    @abc.abstractmethod
+    def is_lossless(self) -> bool: ...
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<codec {self.name}>"
+
+
+def pixels_row_major(img: np.ndarray) -> np.ndarray:
+    """(H*W, 3) view in the reference's pixels() order (row-major, x fastest)."""
+    h, w = img.shape[:2]
+    return np.ascontiguousarray(img.reshape(h * w, 3))

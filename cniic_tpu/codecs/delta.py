@@ -1,0 +1,72 @@
+"""The `delta` codec (reference src/codec/hilbertc.rs:397-582).
+
+Hilbert-order traversal, per-channel differences of consecutive pixels with
+an implicit [0,0,0] predecessor, Huffman coding of the difference triplets.
+Leaf wire format: 3 x i16 LE = 6 bytes, no length prefix (ser.rs:188-195).
+
+TPU mapping: traversal gather + diff are vectorized transforms; diff
+alphabet fits in 27-bit packed keys for the unique pass; encode bit packing
+is the device kernel; decode is Huffman walk + prefix-sum + inverse gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import hilbert, huffman, wire
+from .base import Codec
+
+
+LEAF_SIZE = 6  # 3 x i16 LE
+
+
+def _pack_diffs(diffs: np.ndarray) -> np.ndarray:
+    """(N,3) int16 in [-255,255] -> uint32 keys for the unique pass."""
+    d = diffs.astype(np.int32) + 255
+    return (d[:, 0].astype(np.uint32) << 18) | (d[:, 1].astype(np.uint32) << 9) | d[:, 2].astype(np.uint32)
+
+
+class Delta(Codec):
+    def encode(self, img: np.ndarray) -> bytes:
+        h, w = img.shape[:2]
+        scan = hilbert.linearize(img).astype(np.int16)
+        diffs = np.empty_like(scan)
+        diffs[0] = scan[0]  # previous = [0,0,0] (hilbertc.rs:442-445)
+        np.subtract(scan[1:], scan[:-1], out=diffs[1:])
+
+        keys = _pack_diffs(diffs)
+        uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
+        uniq_diffs = np.empty((uniq.size, 3), dtype=np.int16)
+        uniq_diffs[:, 0] = ((uniq >> 18) & 0x1FF).astype(np.int16) - 255
+        uniq_diffs[:, 1] = ((uniq >> 9) & 0x1FF).astype(np.int16) - 255
+        uniq_diffs[:, 2] = (uniq & 0x1FF).astype(np.int16) - 255
+        leaf_payloads = wire.i16_triplets_to_wire(uniq_diffs).reshape(-1, LEAF_SIZE)
+
+        stream = huffman.encode_stream(inverse.astype(np.int32), counts, leaf_payloads)
+        return wire.pack_dims(w, h) + stream
+
+    def decode(self, data) -> np.ndarray:
+        r = wire.ByteReader(data)
+        w, h = r.dims()
+        n = w * h
+        payloads, ids = huffman.decode_stream(r.rest(), LEAF_SIZE, n)
+        diffs = wire.wire_to_i16_triplets(np.asarray(payloads).reshape(-1), payloads.shape[0])
+        scan = np.cumsum(diffs[ids].astype(np.int32), axis=0)
+        if scan.size and (scan.min() < 0 or scan.max() > 255):
+            raise wire.WireError("delta decode out of u8 range")
+        return hilbert.scatter(scan.astype(np.uint8), w, h)
+
+    @property
+    def name(self) -> str:
+        return "delta"
+
+    @property
+    def is_lossless(self) -> bool:
+        return True
+
+
+def parse(spec: str) -> Delta:
+    from .. import specs
+
+    specs.expect_name(spec, "delta")
+    return Delta()

@@ -1,0 +1,136 @@
+"""The `Hilbert` codec family (reference src/codec/hilbertc.rs:12-395).
+
+Variants (spec grammar hilbertc.rs:337-395):
+    hilbert(rle)      exact RLE along the scan, lossless
+    hilbert(rle(d))   approximate RLE: a run accepts a pixel while the
+                      Euclidean distance between the run's running average
+                      (f64) and the pixel is <= d; the emitted color is the
+                      rounded average (hilbertc.rs:200-285)
+    hilbert(zip)      zip-dict over the 11-byte-framed scan stream
+
+Record format for both RLE variants: (u8 count, 11-byte Rgb) = 12 bytes
+(hilbertc.rs:35-45 + the ser.rs:210-222 quirk); runs cap at count = 255
+(hilbertc.rs:127-143).
+
+TPU mapping: the traversal is a gather; exact RLE is a vectorized boundary/
+segment pass including the 255-cap splitting; approximate RLE is a
+non-associative recurrence — the exact engine is native C; decode of both is
+a vectorized expand + inverse gather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import hilbert, native, wire
+from ..ops import rle as rle_ops
+from .base import Codec
+
+
+def _records_to_bytes(counts: np.ndarray, colors: np.ndarray) -> bytes:
+    """(R,) u8 counts + (R, 3) u8 colors -> R x 12-byte records."""
+    r = counts.size
+    out = np.empty((r, 12), dtype=np.uint8)
+    out[:, 0] = counts
+    out[:, 1:9] = np.frombuffer(wire.pack_u64(3), dtype=np.uint8)
+    out[:, 9:] = colors
+    return out.tobytes()
+
+
+def _bytes_to_records(raw: np.ndarray):
+    if raw.size % 12:
+        raise wire.WireError("RLE stream is not a whole number of records")
+    recs = raw.reshape(-1, 12)
+    prefix = np.frombuffer(wire.pack_u64(3), dtype=np.uint8)
+    if not np.array_equal(recs[:, 1:9], np.broadcast_to(prefix, (recs.shape[0], 8))):
+        raise wire.WireError("corrupt Rgb prefix in RLE record")
+    return recs[:, 0], recs[:, 9:]
+
+
+class Hilbert(Codec):
+    def __init__(self, mode: str, allow: float = 0.0) -> None:
+        assert mode in ("rle", "zip")
+        self.mode = mode
+        self.allow = float(allow)
+
+    def encode(self, img: np.ndarray) -> bytes:
+        h, w = img.shape[:2]
+        scan = hilbert.linearize(img)
+        header = wire.pack_dims(w, h)
+        if self.mode == "zip":
+            framed = wire.rgb_stream_to_wire(scan)
+            return header + native.zip_dict_encode(framed)
+        if self.allow == 0.0:
+            counts, colors = rle_ops.rle_exact(scan)
+        else:
+            counts, colors = native.approx_rle_encode(scan, self.allow)
+        return header + _records_to_bytes(counts, colors)
+
+    def decode(self, data) -> np.ndarray:
+        r = wire.ByteReader(data)
+        w, h = r.dims()
+        n = w * h
+        if self.mode == "zip":
+            framed = np.frombuffer(native.zip_dict_decode(r.rest()), dtype=np.uint8)
+            scan = wire.wire_to_rgb_stream(framed, count=n)
+        else:
+            counts, colors = _bytes_to_records(np.frombuffer(bytes(r.rest()), dtype=np.uint8))
+            scan = np.repeat(colors, counts, axis=0)
+            if scan.shape[0] < n:
+                raise wire.WireError("RLE stream too short")
+            scan = scan[:n]
+        return hilbert.scatter(scan, w, h)
+
+    @property
+    def name(self) -> str:
+        if self.mode == "zip":
+            return "hilbert-zip"
+        if self.allow == 0.0:
+            return "hilbert-rle"
+        return f"hilbert-rle-approx_{_fmt_allow(self.allow)}"
+
+    @property
+    def is_lossless(self) -> bool:
+        return self.mode == "zip" or self.allow == 0.0
+
+
+def _fmt_allow(d: float) -> str:
+    """Rust Display for f64 prints integral values without '.0'."""
+    return str(int(d)) if float(d).is_integer() else repr(d)
+
+
+def parse(spec: str):
+    """hilbert(rle) | hilbert(rle(<d>)) | hilbert(zip) (hilbertc.rs:337-395)."""
+    from .. import specs
+
+    call = specs.fun_call(spec)
+    if call is None:
+        raise specs.OtherParseError(f"Can't parse {spec!r} as a function")
+    name, args = call
+    specs.expect_name(name, "[Hh]ilbert")
+    if len(args) != 1:
+        raise specs.WrongNumberOfArguments(expected=1, found=len(args))
+    arg = args[0]
+
+    def parse_rle(s: str):
+        if specs.matches_fully(s, "rle") is not None:
+            return Hilbert("rle", 0.0)
+        inner = specs.fun_call(s)
+        if inner is None:
+            raise specs.OtherParseError(f"Can't parse {s!r} as a function")
+        rle_name, rle_args = inner
+        specs.expect_name(rle_name, "rle")
+        if len(rle_args) != 1:
+            raise specs.WrongNumberOfArguments(expected=1, found=len(rle_args))
+        try:
+            d = float(rle_args[0])
+        except ValueError as e:
+            raise specs.OtherParseError(str(e))
+        return Hilbert("rle", d)
+
+    def parse_zip(s: str):
+        if specs.matches_fully(s, "zip") is not None:
+            return Hilbert("zip")
+        raise specs.WrongName(expected="zip", found=s)
+
+    return specs.Alternatives(arg).then_try("rle", parse_rle).then_try("zip", parse_zip).end()

@@ -1,0 +1,119 @@
+"""Huffman coding pipeline (reference src/huf.rs rebuilt TPU-first).
+
+Split of responsibilities:
+
+* **host (native C)**: optimal code lengths via the two-queue method over
+  sorted frequencies, canonical code assignment, preorder tree emission and
+  parsing, and the bit-serial decode walk (huf.rs:187-206 is inherently
+  sequential). Any optimal code has the same total payload bits as the
+  reference's heap-built code (sum freq*len is invariant across optimal
+  prefix codes), so compressed sizes match to within final-byte padding; we
+  pin a deterministic canonical tree instead of chasing Rust's BinaryHeap
+  tie-breaking (see SURVEY.md §7.3 item 5).
+* **device (XLA)**: the per-symbol hot loop — code/length gather and bit
+  packing — runs as prefix-sum + segment-sum scatter (ops/bitpack.py).
+
+Wire format is byte-identical to the reference: the decoder trie serialized
+preorder (tag 0 = leaf + payload, 1 = branch; huf.rs:296-321) followed by the
+MSB-first packed payload, zero-padded to a byte (bit.rs:243-253).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import native
+from .ops import bitpack
+
+
+@dataclass
+class Codebook:
+    """Canonical Huffman codebook over `u` symbols (caller's symbol order)."""
+
+    codes: np.ndarray      # uint64[u], right-aligned code bits
+    lens: np.ndarray       # uint32[u]
+    tags: np.ndarray       # uint8[2u-1] preorder tags
+    leaf_sym: np.ndarray   # int32[u]: symbol index of k-th preorder leaf
+
+    @property
+    def n_symbols(self) -> int:
+        return self.codes.size
+
+
+def build_codebook(freqs: np.ndarray) -> Codebook:
+    """Build the canonical codebook for symbol frequencies (caller order)."""
+    freqs = np.asarray(freqs, dtype=np.uint64)
+    u = freqs.size
+    order = np.argsort(freqs, kind="stable")
+    lens_sorted = native.huf_lengths(freqs[order])
+    lens = np.empty(u, dtype=np.uint32)
+    lens[order] = lens_sorted
+    codes, tags, leaf_sym = native.huf_canonical(lens)
+    return Codebook(codes=codes, lens=lens, tags=tags, leaf_sym=leaf_sym)
+
+
+def serialize_tree(book: Codebook, leaf_payloads: np.ndarray) -> bytes:
+    """Preorder tree bytes; leaf_payloads is uint8[u, leaf_size]."""
+    leaf_payloads = np.ascontiguousarray(leaf_payloads, dtype=np.uint8)
+    u = book.n_symbols
+    leaf_size = leaf_payloads.shape[1]
+    tags = book.tags
+    n_nodes = tags.size
+    rec_len = 1 + np.where(tags == 0, leaf_size, 0).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(rec_len)])
+    out = np.zeros(offs[-1], dtype=np.uint8)
+    out[offs[:-1]] = tags
+    leaf_starts = offs[:-1][tags == 0] + 1
+    if u:
+        idx = leaf_starts[:, None] + np.arange(leaf_size)[None, :]
+        out[idx] = leaf_payloads[book.leaf_sym]
+    return out.tobytes()
+
+
+def parse_tree(data, leaf_size: int):
+    """Parse preorder tree bytes.
+
+    Returns (left, right, symbol, payloads uint8[u, leaf_size], consumed).
+    `symbol[i]` numbers leaves in preorder; payloads row k belongs to
+    preorder leaf k.
+    """
+    left, right, symbol, payload_off, n_nodes, consumed = native.huf_tree_parse(data, leaf_size)
+    buf = np.frombuffer(bytes(data[: consumed]), dtype=np.uint8)
+    payloads = buf[payload_off[:, None] + np.arange(leaf_size)[None, :]] if payload_off.size else np.zeros((0, leaf_size), np.uint8)
+    return left, right, symbol, payloads, consumed
+
+
+def encode_payload(symbol_ids: np.ndarray, book: Codebook, device: bool = True) -> bytes:
+    """Pack the symbol stream with the codebook (device path by default)."""
+    if symbol_ids.size == 0:
+        return b""
+    if device:
+        return bitpack.pack_bits_device(symbol_ids.astype(np.int32), book.codes, book.lens)
+    return bitpack.pack_bits_numpy(book.codes[symbol_ids], book.lens[symbol_ids])
+
+
+def decode_payload(payload, left, right, symbol, n_symbols: int) -> np.ndarray:
+    """Bit-serial decode; returns preorder-leaf ids per decoded symbol."""
+    root = 0
+    out = native.huf_decode(payload, left, right, symbol, root, n_symbols)
+    if out.size != n_symbols:
+        raise ValueError(f"Huffman payload exhausted: {out.size}/{n_symbols} symbols")
+    return out
+
+
+def encode_stream(symbol_ids: np.ndarray, freqs: np.ndarray,
+                  leaf_payloads: np.ndarray, device: bool = True) -> bytes:
+    """Full huf::encode_all analog (huf.rs:22-43): tree bytes + packed payload."""
+    book = build_codebook(freqs)
+    return serialize_tree(book, leaf_payloads) + encode_payload(symbol_ids, book, device=device)
+
+
+def decode_stream(data, leaf_size: int, n_symbols: int):
+    """Full huf::decode_all analog: returns (payloads uint8[u, leaf_size],
+    decoded leaf-ids int32[n_symbols])."""
+    left, right, symbol, payloads, consumed = parse_tree(data, leaf_size)
+    body = np.frombuffer(bytes(data), dtype=np.uint8)[consumed:]
+    ids = decode_payload(body, left, right, symbol, n_symbols)
+    return payloads, ids

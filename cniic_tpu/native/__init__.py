@@ -1,0 +1,212 @@
+"""ctypes bindings to the native runtime (see ``cniic_native.c``).
+
+The shared library is compiled on demand with the system C compiler and
+cached next to the source; a rebuild happens whenever the source is newer
+than the binary. All entry points release the GIL for the duration of the
+call (plain ctypes semantics), so host-side codec work can overlap with TPU
+dispatch from other threads.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "cniic_native.c")
+_LIB = os.path.join(_HERE, "libcniic_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        os.environ.get("CC", "cc"),
+        "-O3",
+        "-fPIC",
+        "-shared",
+        "-fvisibility=hidden",
+        "-o",
+        _LIB,
+        _SRC,
+        "-lm",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.c_int64
+
+        lib.gilbert_curve.argtypes = [i64, i64, i32p]
+        lib.gilbert_curve.restype = ctypes.c_int
+
+        lib.huf_decode.argtypes = [u8p, i64, i32p, i32p, i32p, i64, ctypes.c_int32, i64, i32p]
+        lib.huf_decode.restype = i64
+
+        for name in ("zip_dict_encode", "zip_dict_decode", "zip_back_encode", "zip_back_decode"):
+            fn = getattr(lib, name)
+            fn.argtypes = [u8p, i64, ctypes.POINTER(u8p), ctypes.POINTER(i64)]
+            fn.restype = ctypes.c_int
+
+        lib.approx_rle_encode.argtypes = [u8p, i64, ctypes.c_double, u8p, u8p]
+        lib.approx_rle_encode.restype = i64
+
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(i64)
+        lib.huf_lengths.argtypes = [u64p, i64, u32p]
+        lib.huf_lengths.restype = ctypes.c_int
+        lib.huf_canonical.argtypes = [u32p, i64, u64p, u8p, i32p]
+        lib.huf_canonical.restype = ctypes.c_int
+        lib.huf_tree_parse.argtypes = [u8p, i64, i64, i32p, i32p, i32p, i64p, i64, i64p]
+        lib.huf_tree_parse.restype = i64
+
+        lib.cniic_buf_free.argtypes = [u8p]
+        lib.cniic_buf_free.restype = None
+
+        _lib = lib
+        return lib
+
+
+def _as_u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _as_i32p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def gilbert_curve(w: int, h: int) -> np.ndarray:
+    """(w*h, 2) int32 array of (x, y) coordinates of the scan."""
+    lib = _load()
+    out = np.empty((w * h, 2), dtype=np.int32)
+    rc = lib.gilbert_curve(w, h, _as_i32p(out))
+    if rc != 0:
+        raise RuntimeError(f"gilbert_curve failed: {rc}")
+    return out
+
+
+def huf_decode(payload: bytes | np.ndarray, left: np.ndarray, right: np.ndarray,
+               symbol: np.ndarray, root: int, n_symbols: int) -> np.ndarray:
+    """Walk the Huffman trie over an MSB-first payload; returns symbol ids."""
+    lib = _load()
+    pay = np.frombuffer(bytes(payload), dtype=np.uint8) if not isinstance(payload, np.ndarray) else payload
+    pay = np.ascontiguousarray(pay, dtype=np.uint8)
+    left = np.ascontiguousarray(left, dtype=np.int32)
+    right = np.ascontiguousarray(right, dtype=np.int32)
+    symbol = np.ascontiguousarray(symbol, dtype=np.int32)
+    out = np.empty(n_symbols, dtype=np.int32)
+    got = lib.huf_decode(
+        _as_u8p(pay), pay.size, _as_i32p(left), _as_i32p(right), _as_i32p(symbol),
+        left.size, root, n_symbols, _as_i32p(out))
+    if got < 0:
+        raise ValueError("malformed Huffman stream")
+    return out[:got]
+
+
+def _roundtrip_call(name: str, data) -> bytes:
+    lib = _load()
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
+    out_p = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64()
+    rc = getattr(lib, name)(_as_u8p(arr), arr.size, ctypes.byref(out_p), ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"{name} failed ({rc})")
+    try:
+        return ctypes.string_at(out_p, out_len.value)
+    finally:
+        lib.cniic_buf_free(out_p)
+
+
+def zip_dict_encode(data) -> bytes:
+    return _roundtrip_call("zip_dict_encode", data)
+
+
+def zip_dict_decode(data) -> bytes:
+    return _roundtrip_call("zip_dict_decode", data)
+
+
+def zip_back_encode(data) -> bytes:
+    return _roundtrip_call("zip_back_encode", data)
+
+
+def zip_back_decode(data) -> bytes:
+    return _roundtrip_call("zip_back_decode", data)
+
+
+def huf_lengths(freqs_sorted_asc: np.ndarray) -> np.ndarray:
+    """Optimal Huffman code lengths from frequencies sorted ascending."""
+    lib = _load()
+    f = np.ascontiguousarray(freqs_sorted_asc, dtype=np.uint64)
+    lens = np.empty(f.size, dtype=np.uint32)
+    rc = lib.huf_lengths(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), f.size,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc != 0:
+        raise ValueError("huf_lengths failed")
+    return lens
+
+
+def huf_canonical(lens: np.ndarray):
+    """Canonical codes + preorder tree. Returns (codes u64, tags u8[2u-1],
+    leaf_sym i32[u]) — leaf_sym[k] is the symbol at the k-th preorder leaf."""
+    lib = _load()
+    l = np.ascontiguousarray(lens, dtype=np.uint32)
+    u = l.size
+    codes = np.empty(u, dtype=np.uint64)
+    tags = np.empty(max(2 * u - 1, 1), dtype=np.uint8)
+    leaf_sym = np.empty(u, dtype=np.int32)
+    rc = lib.huf_canonical(
+        l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), u,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _as_u8p(tags), _as_i32p(leaf_sym))
+    if rc != 0:
+        raise ValueError("huf_canonical failed (invalid code-length set)")
+    return codes, tags, leaf_sym
+
+
+def huf_tree_parse(data, leaf_size: int):
+    """Parse a preorder trie. Returns (left, right, symbol, payload_off,
+    n_nodes consumed_bytes)."""
+    lib = _load()
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
+    max_nodes = arr.size + 1
+    left = np.empty(max_nodes, dtype=np.int32)
+    right = np.empty(max_nodes, dtype=np.int32)
+    symbol = np.empty(max_nodes, dtype=np.int32)
+    payload_off = np.empty(max_nodes, dtype=np.int64)
+    consumed = ctypes.c_int64()
+    n = lib.huf_tree_parse(
+        _as_u8p(arr), arr.size, leaf_size, _as_i32p(left), _as_i32p(right),
+        _as_i32p(symbol), payload_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_nodes, ctypes.byref(consumed))
+    if n < 0:
+        raise ValueError("malformed Huffman tree stream")
+    n_leaves = (n + 1) // 2
+    return (left[:n].copy(), right[:n].copy(), symbol[:n].copy(),
+            payload_off[:n_leaves].copy(), int(n), int(consumed.value))
+
+
+def approx_rle_encode(rgb: np.ndarray, allow: float):
+    """(counts uint8[R], colors uint8[R,3]) for the running-average RLE."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1, 3)
+    n = rgb.shape[0]
+    counts = np.empty(n, dtype=np.uint8)
+    colors = np.empty((n, 3), dtype=np.uint8)
+    nrec = lib.approx_rle_encode(_as_u8p(rgb), n, float(allow), _as_u8p(counts), _as_u8p(colors))
+    return counts[:nrec].copy(), colors[:nrec].copy()

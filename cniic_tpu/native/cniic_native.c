@@ -1,0 +1,926 @@
+/* cniic_tpu native runtime.
+ *
+ * Exact sequential engines for the stages that are irreducibly serial in the
+ * reference design (hkapp/cniic):
+ *
+ *   - gilbert_curve:     arbitrary-rectangle space-filling scan. The reference
+ *                        wraps the zhang_hilbert crate (reference
+ *                        src/hilbert.rs:40-43); we use the generalized Hilbert
+ *                        ("gilbert") construction, which serves the same role
+ *                        (a locality-preserving bijective scan of any W x H
+ *                        rectangle). Encode and decode share the permutation,
+ *                        which is the only correctness requirement.
+ *   - huf_decode:        bit-serial Huffman trie walk (reference
+ *                        src/huf.rs:187-206) over a flattened node table.
+ *   - zip_dict_*:        LZ78/LZW-pair engine (reference src/zip/dict.rs):
+ *                        u16 symbol pairs, dictionary grown by concatenating
+ *                        the two sequences of each emitted pair, 0xFFFF EOF
+ *                        marker for odd-length symbol streams.
+ *   - zip_back_*:        LZ77 engine (reference src/zip/back.rs): 65535-byte
+ *                        ring history, 6-byte-prefix index with two aging
+ *                        generations, greedy longest-match >= 6, explicit
+ *                        runs grown by doubling.
+ *   - approx_rle_encode: running-average approximate RLE recurrence
+ *                        (reference src/codec/hilbertc.rs:200-285).
+ *
+ * All functions use a plain C ABI for ctypes. Buffers whose size is unknown
+ * in advance are malloc'd here and must be released with cniic_buf_free.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+#ifdef _WIN32
+#define EXPORT __declspec(dllexport)
+#else
+#define EXPORT __attribute__((visibility("default")))
+#endif
+
+/* ------------------------------------------------------------------ */
+/* growable byte buffer                                                */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint8_t *data;
+    int64_t len;
+    int64_t cap;
+} Buf;
+
+static int buf_init(Buf *b, int64_t cap) {
+    if (cap < 64) cap = 64;
+    b->data = (uint8_t *)malloc((size_t)cap);
+    b->len = 0;
+    b->cap = cap;
+    return b->data != NULL;
+}
+
+static int buf_reserve(Buf *b, int64_t extra) {
+    if (b->len + extra <= b->cap) return 1;
+    int64_t ncap = b->cap * 2;
+    while (ncap < b->len + extra) ncap *= 2;
+    uint8_t *nd = (uint8_t *)realloc(b->data, (size_t)ncap);
+    if (!nd) return 0;
+    b->data = nd;
+    b->cap = ncap;
+    return 1;
+}
+
+static int buf_push(Buf *b, uint8_t x) {
+    if (!buf_reserve(b, 1)) return 0;
+    b->data[b->len++] = x;
+    return 1;
+}
+
+static int buf_push_all(Buf *b, const uint8_t *src, int64_t n) {
+    if (!buf_reserve(b, n)) return 0;
+    memcpy(b->data + b->len, src, (size_t)n);
+    b->len += n;
+    return 1;
+}
+
+static int buf_push_u16le(Buf *b, uint16_t v) {
+    if (!buf_reserve(b, 2)) return 0;
+    b->data[b->len++] = (uint8_t)(v & 0xff);
+    b->data[b->len++] = (uint8_t)(v >> 8);
+    return 1;
+}
+
+EXPORT void cniic_buf_free(uint8_t *p) { free(p); }
+
+/* ------------------------------------------------------------------ */
+/* gilbert: generalized Hilbert scan of an arbitrary rectangle          */
+/* ------------------------------------------------------------------ */
+
+static inline int sgn64(int64_t x) { return (x > 0) - (x < 0); }
+
+/* floor(a/2); C division truncates toward zero, the recursion needs floor */
+static inline int64_t fdiv2(int64_t a) { return a >= 0 ? a / 2 : -((-a + 1) / 2); }
+
+typedef struct {
+    int32_t *out; /* interleaved x,y */
+    int64_t pos;
+} GilbertCtx;
+
+static void gilbert_gen(GilbertCtx *ctx, int64_t x, int64_t y,
+                        int64_t ax, int64_t ay, int64_t bx, int64_t by) {
+    int64_t w = llabs(ax + ay);
+    int64_t h = llabs(bx + by);
+    int dax = sgn64(ax), day = sgn64(ay);
+    int dbx = sgn64(bx), dby = sgn64(by);
+
+    if (h == 1) {
+        for (int64_t i = 0; i < w; i++) {
+            ctx->out[2 * ctx->pos] = (int32_t)x;
+            ctx->out[2 * ctx->pos + 1] = (int32_t)y;
+            ctx->pos++;
+            x += dax;
+            y += day;
+        }
+        return;
+    }
+    if (w == 1) {
+        for (int64_t i = 0; i < h; i++) {
+            ctx->out[2 * ctx->pos] = (int32_t)x;
+            ctx->out[2 * ctx->pos + 1] = (int32_t)y;
+            ctx->pos++;
+            x += dbx;
+            y += dby;
+        }
+        return;
+    }
+
+    int64_t ax2 = fdiv2(ax), ay2 = fdiv2(ay);
+    int64_t bx2 = fdiv2(bx), by2 = fdiv2(by);
+    int64_t w2 = llabs(ax2 + ay2);
+    int64_t h2 = llabs(bx2 + by2);
+
+    if (2 * w > 3 * h) {
+        if ((w2 % 2) && (w > 2)) { ax2 += dax; ay2 += day; }
+        gilbert_gen(ctx, x, y, ax2, ay2, bx, by);
+        gilbert_gen(ctx, x + ax2, y + ay2, ax - ax2, ay - ay2, bx, by);
+    } else {
+        if ((h2 % 2) && (h > 2)) { bx2 += dbx; by2 += dby; }
+        gilbert_gen(ctx, x, y, bx2, by2, ax2, ay2);
+        gilbert_gen(ctx, x + bx2, y + by2, ax, ay, bx - bx2, by - by2);
+        gilbert_gen(ctx, x + (ax - dax) + (bx2 - dbx), y + (ay - day) + (by2 - dby),
+                    -bx2, -by2, -(ax - ax2), -(ay - ay2));
+    }
+}
+
+/* out must hold 2*w*h int32. Returns 0 on success. */
+EXPORT int gilbert_curve(int64_t w, int64_t h, int32_t *out) {
+    if (w <= 0 || h <= 0) return -1;
+    GilbertCtx ctx = {out, 0};
+    if (w >= h)
+        gilbert_gen(&ctx, 0, 0, w, 0, 0, h);
+    else
+        gilbert_gen(&ctx, 0, 0, 0, h, w, 0);
+    return ctx.pos == w * h ? 0 : -2;
+}
+
+/* ------------------------------------------------------------------ */
+/* Huffman bit-serial decode (trie walk, MSB-first bits)               */
+/* ------------------------------------------------------------------ */
+
+/* left/right: child node index or -1; symbol: leaf payload id or -1.
+ * Decodes up to n_symbols symbols from the payload bit stream, writing
+ * symbol ids to out. Returns the number decoded (may be < n_symbols if the
+ * stream runs out), or -1 on malformed tables.
+ */
+EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
+                          const int32_t *left, const int32_t *right,
+                          const int32_t *symbol, int64_t n_nodes, int32_t root,
+                          int64_t n_symbols, int32_t *out) {
+    if (root < 0 || root >= n_nodes) return -1;
+    int64_t total_bits = payload_len * 8;
+    int64_t bitpos = 0;
+    int64_t produced = 0;
+
+    if (symbol[root] >= 0) {
+        /* Single-symbol alphabet: zero-length codes, no bits consumed
+         * (reference huf.rs:140-142). */
+        for (; produced < n_symbols; produced++) out[produced] = symbol[root];
+        return produced;
+    }
+
+    while (produced < n_symbols) {
+        int32_t node = root;
+        while (symbol[node] < 0) {
+            if (bitpos >= total_bits) return produced; /* EOF mid-code */
+            int bit = (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
+            bitpos++;
+            node = bit ? right[node] : left[node];
+            if (node < 0 || node >= n_nodes) return -1;
+        }
+        out[produced++] = symbol[node];
+    }
+    return produced;
+}
+
+/* ------------------------------------------------------------------ */
+/* open-addressing hash map: uint64 key -> int32 x 2 payload           */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint64_t *keys;  /* 0 = empty (keys stored +1) */
+    int32_t *v0;
+    int32_t *v1;
+    int64_t cap;     /* power of two */
+    int64_t count;
+} Map;
+
+static int map_init(Map *m, int64_t cap) {
+    int64_t c = 1024;
+    while (c < cap) c <<= 1;
+    m->keys = (uint64_t *)calloc((size_t)c, sizeof(uint64_t));
+    m->v0 = (int32_t *)malloc((size_t)c * sizeof(int32_t));
+    m->v1 = (int32_t *)malloc((size_t)c * sizeof(int32_t));
+    m->cap = c;
+    m->count = 0;
+    return m->keys && m->v0 && m->v1;
+}
+
+static void map_destroy(Map *m) {
+    free(m->keys);
+    free(m->v0);
+    free(m->v1);
+}
+
+static inline uint64_t hash64(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    k *= 0xc4ceb9fe1a85ec53ULL;
+    k ^= k >> 33;
+    return k;
+}
+
+static int map_grow(Map *m);
+
+/* Find slot for key; if absent and create!=0, insert with v0=d0,v1=d1.
+ * Returns slot index, or -1 (absent, create==0) / -2 (OOM). */
+static int64_t map_slot(Map *m, uint64_t key, int create, int32_t d0, int32_t d1) {
+    uint64_t k1 = key + 1;
+    int64_t mask = m->cap - 1;
+    int64_t i = (int64_t)(hash64(k1) & (uint64_t)mask);
+    for (;;) {
+        if (m->keys[i] == k1) return i;
+        if (m->keys[i] == 0) {
+            if (!create) return -1;
+            if (m->count * 10 >= m->cap * 7) {
+                if (!map_grow(m)) return -2;
+                return map_slot(m, key, create, d0, d1);
+            }
+            m->keys[i] = k1;
+            m->v0[i] = d0;
+            m->v1[i] = d1;
+            m->count++;
+            return i;
+        }
+        i = (i + 1) & mask;
+    }
+}
+
+static int map_grow(Map *m) {
+    Map n;
+    if (!map_init(&n, m->cap * 2)) return 0;
+    for (int64_t i = 0; i < m->cap; i++) {
+        if (m->keys[i]) {
+            int64_t j = map_slot(&n, m->keys[i] - 1, 1, m->v0[i], m->v1[i]);
+            if (j < 0) { map_destroy(&n); return 0; }
+        }
+    }
+    map_destroy(m);
+    *m = n;
+    return 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* zip-dict (LZ78/LZW-pair engine, reference src/zip/dict.rs)          */
+/* ------------------------------------------------------------------ */
+
+#define ZIP_EOF 0xffffu
+
+typedef struct {
+    Map edges;      /* key = node*256+byte -> (value symbol | -1, child | -1) */
+    int32_t n_nodes;
+    uint32_t counter; /* next symbol code */
+} DictTrie;
+
+static int trie_init(DictTrie *t) {
+    if (!map_init(&t->edges, 1 << 16)) return 0;
+    t->n_nodes = 1; /* node 0 = root */
+    t->counter = 0;
+    /* 256 single-byte symbols (dict.rs:44-47) */
+    for (int b = 0; b < 256; b++) {
+        int64_t s = map_slot(&t->edges, (uint64_t)b, 1, (int32_t)t->counter, -1);
+        if (s < 0) return 0;
+        t->counter++;
+    }
+    return 1;
+}
+
+/* Insert seq -> code (dict.rs:308-323 semantics: value keyed on the last
+ * byte edge; child nodes created for all but the last byte; existing values
+ * are overwritten). */
+static int trie_insert(DictTrie *t, const uint8_t *seq, int64_t len, int32_t code) {
+    int32_t node = 0;
+    for (int64_t i = 0; i < len - 1; i++) {
+        uint64_t key = ((uint64_t)node << 8) | seq[i];
+        int64_t s = map_slot(&t->edges, key, 1, -1, -1);
+        if (s < 0) return 0;
+        if (t->edges.v1[s] < 0) {
+            t->edges.v1[s] = t->n_nodes++;
+        }
+        node = t->edges.v1[s];
+    }
+    uint64_t key = ((uint64_t)node << 8) | seq[len - 1];
+    int64_t s = map_slot(&t->edges, key, 1, code, -1);
+    if (s < 0) return 0;
+    t->edges.v0[s] = code; /* upsert: overwrite any previous code */
+    return 1;
+}
+
+/* Greedy longest-registered-prefix match starting at in[pos]
+ * (dict.rs:96-137). Returns the symbol (or -1) and sets *end to one past the
+ * matched sequence. */
+static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
+                         int64_t *end) {
+    int32_t node = 0;
+    int32_t longest = -1;
+    int64_t longest_end = pos;
+    int64_t p = pos;
+    while (p < n) {
+        uint64_t key = ((uint64_t)node << 8) | in[p];
+        int64_t s = map_slot(&t->edges, key, 0, 0, 0);
+        if (s < 0) break;
+        if (t->edges.v0[s] >= 0) {
+            longest = t->edges.v0[s];
+            longest_end = p + 1;
+        }
+        if (t->edges.v1[s] < 0) break;
+        node = t->edges.v1[s];
+        p++;
+    }
+    *end = longest_end;
+    return longest;
+}
+
+EXPORT int zip_dict_encode(const uint8_t *in, int64_t n,
+                           uint8_t **out, int64_t *out_len) {
+    DictTrie t;
+    Buf b;
+    if (!trie_init(&t)) return -1;
+    if (!buf_init(&b, n / 2 + 64)) { map_destroy(&t.edges); return -1; }
+
+    int64_t pos = 0;
+    int ok = 1;
+    while (pos < n) {
+        int64_t e1, e2;
+        int32_t s1 = trie_find(&t, in, n, pos, &e1);
+        if (s1 < 0) break; /* only possible when input exhausted */
+        int32_t s2 = trie_find(&t, in, n, e1, &e2);
+        if (s2 < 0) {
+            /* odd symbol count: EOF marker (dict.rs:81-86) */
+            ok = buf_push_u16le(&b, (uint16_t)s1) && buf_push_u16le(&b, ZIP_EOF);
+            pos = e1;
+            break;
+        }
+        if (!buf_push_u16le(&b, (uint16_t)s1) || !buf_push_u16le(&b, (uint16_t)s2)) {
+            ok = 0;
+            break;
+        }
+        /* register concat(seq1, seq2) = in[pos..e2) while codes remain
+         * (dict.rs:52-62, 90-92) */
+        if (t.counter < ZIP_EOF) {
+            if (!trie_insert(&t, in + pos, e2 - pos, (int32_t)t.counter)) { ok = 0; break; }
+            t.counter++;
+        }
+        pos = e2;
+    }
+    map_destroy(&t.edges);
+    if (!ok) { free(b.data); return -1; }
+    *out = b.data;
+    *out_len = b.len;
+    return 0;
+}
+
+EXPORT int zip_dict_decode(const uint8_t *in, int64_t n,
+                           uint8_t **out, int64_t *out_len) {
+    /* mapping: symbol -> (offset, len) into the decoded output itself.
+     * Single-byte symbols use offset -1-byte as a sentinel. */
+    int64_t *offs = (int64_t *)malloc(65536 * sizeof(int64_t));
+    int64_t *lens = (int64_t *)malloc(65536 * sizeof(int64_t));
+    Buf b;
+    if (!offs || !lens || !buf_init(&b, n * 3 + 64)) {
+        free(offs); free(lens);
+        return -1;
+    }
+    for (int i = 0; i < 65536; i++) { offs[i] = -1; lens[i] = 0; }
+    for (int i = 0; i < 256; i++) { offs[i] = -(int64_t)i - 2; lens[i] = 1; }
+    lens[ZIP_EOF] = 0;
+    offs[ZIP_EOF] = 0;
+    uint32_t counter = 0x0100;
+
+    int64_t pos = 0;
+    int ok = 1;
+    while (pos + 4 <= n) {
+        uint16_t s1 = (uint16_t)(in[pos] | (in[pos + 1] << 8));
+        uint16_t s2 = (uint16_t)(in[pos + 2] | (in[pos + 3] << 8));
+        pos += 4;
+        if (offs[s1] == -1 || offs[s2] == -1) { ok = 0; break; } /* unknown code */
+        int64_t start = b.len;
+
+        int64_t o1 = offs[s1], l1 = lens[s1];
+        if (!buf_reserve(&b, l1 + lens[s2])) { ok = 0; break; }
+        if (o1 <= -2) {
+            b.data[b.len++] = (uint8_t)(-o1 - 2);
+        } else {
+            memcpy(b.data + b.len, b.data + o1, (size_t)l1);
+            b.len += l1;
+        }
+        int64_t o2 = offs[s2], l2 = lens[s2];
+        if (o2 <= -2) {
+            b.data[b.len++] = (uint8_t)(-o2 - 2);
+        } else if (l2 > 0) {
+            memcpy(b.data + b.len, b.data + o2, (size_t)l2);
+            b.len += l2;
+        }
+        if (counter < ZIP_EOF) {
+            offs[counter] = start;
+            lens[counter] = b.len - start;
+            counter++;
+        }
+    }
+    free(offs);
+    free(lens);
+    if (!ok) { free(b.data); return -1; }
+    *out = b.data;
+    *out_len = b.len;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* zip-back (LZ77 engine, reference src/zip/back.rs)                   */
+/* ------------------------------------------------------------------ */
+
+#define ZB_RING 65535            /* MAX_RING_BUFFER_SIZE = Back::MAX (back.rs:291) */
+#define ZB_MINREP 6              /* MIN_REP (back.rs:143) */
+#define ZB_MAXLEN 32767          /* 15-bit length field (back.rs:44-49) */
+
+typedef struct {
+    int64_t *pos;
+    int64_t len, cap;
+} PosVec;
+
+typedef struct {
+    Map map;        /* key -> (vec index in pool, unused) */
+    PosVec *pool;
+    int64_t pool_len, pool_cap;
+} Gen;
+
+static int gen_init(Gen *g) {
+    if (!map_init(&g->map, 1 << 14)) return 0;
+    g->pool_cap = 1024;
+    g->pool = (PosVec *)malloc((size_t)g->pool_cap * sizeof(PosVec));
+    g->pool_len = 0;
+    return g->pool != NULL;
+}
+
+static void gen_clear(Gen *g) {
+    for (int64_t i = 0; i < g->pool_len; i++) free(g->pool[i].pos);
+    g->pool_len = 0;
+    memset(g->map.keys, 0, (size_t)g->map.cap * sizeof(uint64_t));
+    g->map.count = 0;
+}
+
+static void gen_destroy(Gen *g) {
+    for (int64_t i = 0; i < g->pool_len; i++) free(g->pool[i].pos);
+    free(g->pool);
+    map_destroy(&g->map);
+}
+
+static int gen_add(Gen *g, uint64_t key, int64_t position) {
+    int64_t s = map_slot(&g->map, key, 1, -1, -1);
+    if (s < -1) return 0;
+    if (g->map.v0[s] < 0) {
+        if (g->pool_len == g->pool_cap) {
+            g->pool_cap *= 2;
+            PosVec *np = (PosVec *)realloc(g->pool, (size_t)g->pool_cap * sizeof(PosVec));
+            if (!np) return 0;
+            g->pool = np;
+        }
+        PosVec *v = &g->pool[g->pool_len];
+        v->cap = 4;
+        v->len = 0;
+        v->pos = (int64_t *)malloc(4 * sizeof(int64_t));
+        if (!v->pos) return 0;
+        g->map.v0[s] = (int32_t)g->pool_len++;
+    }
+    PosVec *v = &g->pool[g->map.v0[s]];
+    if (v->len == v->cap) {
+        v->cap *= 2;
+        int64_t *np = (int64_t *)realloc(v->pos, (size_t)v->cap * sizeof(int64_t));
+        if (!np) return 0;
+        v->pos = np;
+    }
+    v->pos[v->len++] = position;
+    return 1;
+}
+
+static PosVec *gen_get(Gen *g, uint64_t key) {
+    int64_t s = map_slot(&g->map, key, 0, 0, 0);
+    if (s < 0) return NULL;
+    return &g->pool[g->map.v0[s]];
+}
+
+typedef struct {
+    uint8_t ring[ZB_RING];
+    int64_t total;   /* bytes written to history so far (stream position) */
+    Gen old_gen, new_gen;
+} History;
+
+static inline uint64_t key6(const uint8_t *p) {
+    uint64_t k = 0;
+    for (int i = 0; i < ZB_MINREP; i++) k = (k << 8) | p[i];
+    return k;
+}
+
+static inline uint8_t hist_at(const History *h, int64_t gpos) {
+    return h->ring[gpos % ZB_RING];
+}
+
+static int hist_write(History *h, uint8_t b) {
+    int64_t q = h->total;
+    h->ring[q % ZB_RING] = b;
+    h->total = q + 1;
+    /* index maintenance (back.rs:538-559) */
+    if (q >= ZB_MINREP - 1) {
+        int64_t p = q - (ZB_MINREP - 1);
+        uint8_t kb[ZB_MINREP];
+        for (int i = 0; i < ZB_MINREP; i++) kb[i] = hist_at(h, p + i);
+        if (!gen_add(&h->new_gen, key6(kb), p)) return 0;
+    }
+    if ((q % ZB_RING) == 0 && h->new_gen.map.count > 0) {
+        /* wrap-around: old entries can no longer be valid; age generations */
+        gen_clear(&h->old_gen);
+        Gen tmp = h->old_gen;
+        h->old_gen = h->new_gen;
+        h->new_gen = tmp;
+    }
+    return 1;
+}
+
+static inline int hist_contains(const History *h, int64_t gpos) {
+    int64_t start = h->total > ZB_RING ? h->total - ZB_RING : 0;
+    return gpos >= start && gpos < h->total;
+}
+
+/* Longest match of in[pos..n) against history, searched via the 6-byte
+ * prefix index; first strictly-longer candidate wins (back.rs:253-277).
+ * Returns length; *back_out = distance from the history head. */
+static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
+                          int64_t *back_out) {
+    if (n - pos < ZB_MINREP) return 0;
+    uint64_t key = key6(in + pos);
+    int64_t best_len = 0, best_back = 0;
+    Gen *gens[2] = {&h->old_gen, &h->new_gen};
+    for (int gi = 0; gi < 2; gi++) {
+        PosVec *v = gen_get(gens[gi], key);
+        if (!v) continue;
+        for (int64_t i = 0; i < v->len; i++) {
+            int64_t cand = v->pos[i];
+            if (!hist_contains(h, cand)) continue;
+            int64_t max_len = h->total - cand; /* match may not run past history end */
+            int64_t lim = n - pos;
+            if (max_len < lim) lim = max_len;
+            if (lim > ZB_MAXLEN) lim = ZB_MAXLEN;
+            int64_t l = 0;
+            while (l < lim && in[pos + l] == hist_at(h, cand + l)) l++;
+            if (l > best_len) {
+                best_len = l;
+                best_back = h->total - cand;
+            }
+        }
+    }
+    *back_out = best_back;
+    return best_len;
+}
+
+EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
+                           uint8_t **out, int64_t *out_len) {
+    History *h = (History *)calloc(1, sizeof(History));
+    Buf b;
+    if (!h) return -1;
+    if (!gen_init(&h->old_gen) || !gen_init(&h->new_gen) || !buf_init(&b, n / 2 + 64)) {
+        free(h);
+        return -1;
+    }
+
+    int64_t pos = 0;
+    int64_t exp_start = 0, exp_len = 0; /* current explicit run = in[exp_start..+exp_len) */
+    int ok = 1;
+
+    while (ok) {
+        int64_t back;
+        int64_t mlen = best_match(h, in, n, pos, &back);
+        if (mlen >= ZB_MINREP) {
+            /* flush explicit, then the lookback (back.rs:188-199) */
+            if (exp_len > 0) {
+                ok = buf_push_u16le(&b, (uint16_t)exp_len) && buf_push_all(&b, in + exp_start, exp_len);
+                exp_len = 0;
+            }
+            if (ok) {
+                for (int64_t i = 0; i < mlen && ok; i++) ok = hist_write(h, in[pos + i]);
+                ok = ok && buf_push_u16le(&b, (uint16_t)(mlen | 0x8000)) &&
+                     buf_push_u16le(&b, (uint16_t)back);
+                pos += mlen;
+            }
+        } else {
+            /* extend explicit by doubling (back.rs:163-186), committing the
+             * bytes to history immediately; cap the explicit at 15 bits */
+            int64_t want = exp_len > 2 ? exp_len : 2;
+            if (exp_len + want > ZB_MAXLEN) want = ZB_MAXLEN - exp_len;
+            int64_t got = n - pos < want ? n - pos : want;
+            if (exp_len == 0) exp_start = pos;
+            for (int64_t i = 0; i < got && ok; i++) ok = hist_write(h, in[pos + i]);
+            pos += got;
+            exp_len += got;
+            if (exp_len == ZB_MAXLEN) {
+                ok = ok && buf_push_u16le(&b, (uint16_t)exp_len) &&
+                     buf_push_all(&b, in + exp_start, exp_len);
+                exp_len = 0;
+            }
+            if (got < want) { /* input depleted */
+                if (exp_len > 0)
+                    ok = ok && buf_push_u16le(&b, (uint16_t)exp_len) &&
+                         buf_push_all(&b, in + exp_start, exp_len);
+                break;
+            }
+        }
+    }
+
+    gen_destroy(&h->old_gen);
+    gen_destroy(&h->new_gen);
+    free(h);
+    if (!ok) { free(b.data); return -1; }
+    *out = b.data;
+    *out_len = b.len;
+    return 0;
+}
+
+EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
+                           uint8_t **out, int64_t *out_len) {
+    uint8_t *ring = (uint8_t *)malloc(ZB_RING);
+    Buf b;
+    if (!ring) return -1;
+    if (!buf_init(&b, n * 2 + 64)) { free(ring); return -1; }
+    int64_t total = 0;
+    int64_t pos = 0;
+    int ok = 1;
+    while (pos + 2 <= n && ok) {
+        uint16_t word = (uint16_t)(in[pos] | (in[pos + 1] << 8));
+        pos += 2;
+        int64_t len = word & 0x7fff;
+        if (word & 0x8000) {
+            if (pos + 2 > n) { ok = 0; break; }
+            uint16_t back = (uint16_t)(in[pos] | (in[pos + 1] << 8));
+            pos += 2;
+            int64_t start = total - (int64_t)back;
+            if (start < 0 || len > (int64_t)back) { ok = 0; break; }
+            if (!buf_reserve(&b, len)) { ok = 0; break; }
+            for (int64_t i = 0; i < len; i++)
+                b.data[b.len + i] = ring[(start + i) % ZB_RING];
+            for (int64_t i = 0; i < len; i++) {
+                ring[total % ZB_RING] = b.data[b.len + i];
+                total++;
+            }
+            b.len += len;
+        } else {
+            if (pos + len > n) { ok = 0; break; }
+            if (!buf_push_all(&b, in + pos, len)) { ok = 0; break; }
+            for (int64_t i = 0; i < len; i++) {
+                ring[total % ZB_RING] = in[pos + i];
+                total++;
+            }
+            pos += len;
+        }
+    }
+    free(ring);
+    if (!ok) { free(b.data); return -1; }
+    *out = b.data;
+    *out_len = b.len;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Huffman: build, canonical codes, preorder tree (reference huf.rs)   */
+/* ------------------------------------------------------------------ */
+
+/* Optimal code lengths via the two-queue method over frequencies sorted
+ * ascending. Any optimal Huffman code has the same total payload length
+ * (sum freq*len), so compressed sizes match the reference's heap-built
+ * trees exactly up to final-byte padding; we pin a deterministic canonical
+ * tree (huf.rs:58-117 builds the same-cost tree with BinaryHeap ordering).
+ *
+ * freqs: u sorted ascending. out lens[u]. Returns 0 / -1.
+ */
+EXPORT int huf_lengths(const uint64_t *freqs, int64_t u, uint32_t *lens) {
+    if (u <= 0) return -1;
+    if (u == 1) { lens[0] = 0; return 0; }
+    int64_t nn = 2 * u - 1;
+    uint64_t *w = (uint64_t *)malloc((size_t)nn * sizeof(uint64_t));
+    int32_t *l = (int32_t *)malloc((size_t)nn * sizeof(int32_t));
+    int32_t *r = (int32_t *)malloc((size_t)nn * sizeof(int32_t));
+    uint32_t *depth = (uint32_t *)calloc((size_t)nn, sizeof(uint32_t));
+    if (!w || !l || !r || !depth) { free(w); free(l); free(r); free(depth); return -1; }
+    memcpy(w, freqs, (size_t)u * sizeof(uint64_t));
+
+    int64_t leaf_head = 0;            /* queue 1: leaves (sorted) */
+    int64_t int_head = u, int_tail = u; /* queue 2: internal nodes */
+
+    for (int64_t made = 0; made < u - 1; made++) {
+        int32_t picks[2];
+        for (int k = 0; k < 2; k++) {
+            int take_leaf;
+            if (leaf_head >= u) take_leaf = 0;
+            else if (int_head >= int_tail) take_leaf = 1;
+            else take_leaf = w[leaf_head] <= w[int_head]; /* tie: prefer leaf */
+            picks[k] = (int32_t)(take_leaf ? leaf_head++ : int_head++);
+        }
+        w[int_tail] = w[picks[0]] + w[picks[1]];
+        l[int_tail] = picks[0];
+        r[int_tail] = picks[1];
+        int_tail++;
+    }
+    /* root = nn-1; propagate depths top-down (children created before parent) */
+    for (int64_t i = nn - 1; i >= u; i--) {
+        depth[l[i]] = depth[i] + 1;
+        depth[r[i]] = depth[i] + 1;
+    }
+    for (int64_t i = 0; i < u; i++) lens[i] = depth[i];
+    free(w); free(l); free(r); free(depth);
+    return 0;
+}
+
+/* Canonical codes + preorder tree from code lengths.
+ *
+ * lens[u]: code length per symbol (any order). Outputs:
+ *   codes[u]   right-aligned canonical code bits (<= 63 bits),
+ *   tags[2u-1] preorder node tags: 1 = branch, 0 = leaf (huf.rs:296-321),
+ *   leaf_sym[u] symbol index of each leaf in preorder order.
+ * Returns 0, or -1 on invalid input (lengths not a Kraft-complete set).
+ */
+EXPORT int huf_canonical(const uint32_t *lens, int64_t u,
+                         uint64_t *codes, uint8_t *tags, int32_t *leaf_sym) {
+    if (u <= 0) return -1;
+    if (u == 1) {
+        if (lens[0] != 0) return -1;
+        codes[0] = 0;
+        tags[0] = 0;
+        leaf_sym[0] = 0;
+        return 0;
+    }
+    /* order symbols by (len asc, index asc) via counting sort on len */
+    uint32_t max_len = 0;
+    for (int64_t i = 0; i < u; i++) {
+        if (lens[i] == 0 || lens[i] > 63) return -1;
+        if (lens[i] > max_len) max_len = lens[i];
+    }
+    int64_t *cnt = (int64_t *)calloc((size_t)max_len + 2, sizeof(int64_t));
+    int32_t *order = (int32_t *)malloc((size_t)u * sizeof(int32_t));
+    if (!cnt || !order) { free(cnt); free(order); return -1; }
+    for (int64_t i = 0; i < u; i++) cnt[lens[i] + 1]++;
+    for (uint32_t d = 1; d <= max_len + 1; d++) cnt[d] += cnt[d - 1];
+    for (int64_t i = 0; i < u; i++) order[cnt[lens[i]]++] = (int32_t)i;
+
+    /* canonical assignment, shortest codes first */
+    uint64_t code = 0;
+    uint32_t prev_len = lens[order[0]];
+    codes[order[0]] = 0;
+    for (int64_t k = 1; k < u; k++) {
+        uint32_t len = lens[order[k]];
+        code = (code + 1) << (len - prev_len);
+        codes[order[k]] = code;
+        prev_len = len;
+    }
+    free(cnt);
+
+    /* preorder walk of the canonical trie without materializing it:
+     * leaves in `order` are already in left-to-right tree order. Standard
+     * stack simulation over (leaf index, depth). */
+    int64_t tag_pos = 0, leaf_pos = 0;
+    int64_t k = 0;
+    uint32_t cur_depth = 0;
+    uint64_t path = 0; /* bits of current path, LSB = deepest */
+    int ok = 1;
+    while (k < u) {
+        uint32_t len = lens[order[k]];
+        if (len < cur_depth) { ok = 0; break; }
+        /* descend: every level from cur_depth to len-1 is a branch */
+        for (uint32_t d = cur_depth; d < len; d++) {
+            if (tag_pos >= 2 * u - 1) { ok = 0; break; }
+            tags[tag_pos++] = 1;
+        }
+        if (!ok) break;
+        if (tag_pos >= 2 * u - 1) { ok = 0; break; }
+        tags[tag_pos++] = 0;
+        leaf_sym[leaf_pos++] = order[k];
+        path = codes[order[k]];
+        cur_depth = len;
+        k++;
+        /* backtrack: pop trailing 1-bits of the path */
+        while (cur_depth > 0 && (path & 1)) {
+            path >>= 1;
+            cur_depth--;
+        }
+        if (cur_depth == 0 && k < u) { ok = 0; break; }
+        /* next leaf will branch right at cur_depth-1; its code already
+         * encodes that, nothing to emit (the branch tag was written when
+         * we first descended through that level) */
+    }
+    free(order);
+    if (!ok || leaf_pos != u || tag_pos != 2 * u - 1) return -1;
+    return 0;
+}
+
+/* Parse a preorder-serialized trie (tag byte 0=leaf/1=branch; leaves carry a
+ * fixed-size payload; huf.rs:296-348). Outputs flattened node tables for
+ * huf_decode plus the byte offset of each leaf payload.
+ *   left/right/symbol: caller-allocated, >= max_nodes entries
+ *   payload_off:       caller-allocated, >= max_nodes entries
+ * Returns number of nodes, and sets *consumed; -1 on malformed input. The
+ * root is node 0. symbol[i] numbers leaves in preorder order.
+ */
+EXPORT int64_t huf_tree_parse(const uint8_t *data, int64_t len, int64_t leaf_size,
+                              int32_t *left, int32_t *right, int32_t *symbol,
+                              int64_t *payload_off, int64_t max_nodes,
+                              int64_t *consumed) {
+    int64_t pos = 0;
+    int64_t n_nodes = 0, n_leaves = 0;
+    /* stack of node ids whose right child is pending */
+    int32_t *stack = (int32_t *)malloc((size_t)(max_nodes > 64 ? max_nodes : 64) * sizeof(int32_t));
+    if (!stack) return -1;
+    int64_t sp = 0;
+    int32_t pending_parent = -1; /* node waiting for its LEFT child */
+
+    for (;;) {
+        if (pos >= len || n_nodes >= max_nodes) { free(stack); return -1; }
+        uint8_t tag = data[pos++];
+        int32_t me = (int32_t)n_nodes++;
+        if (pending_parent >= 0) {
+            left[pending_parent] = me;
+            stack[sp++] = pending_parent; /* its right child comes later */
+            pending_parent = -1;
+        } else if (sp > 0) {
+            right[stack[--sp]] = me;
+        } else if (me != 0) {
+            free(stack);
+            return -1;
+        }
+        if (tag == 1) {
+            left[me] = right[me] = -1; /* filled by children */
+            symbol[me] = -1;
+            pending_parent = me;
+        } else if (tag == 0) {
+            if (pos + leaf_size > len) { free(stack); return -1; }
+            left[me] = right[me] = -1;
+            symbol[me] = (int32_t)n_leaves;
+            payload_off[n_leaves++] = pos;
+            pos += leaf_size;
+            if (sp == 0 && pending_parent < 0) break; /* tree complete */
+        } else {
+            free(stack);
+            return -1;
+        }
+    }
+    free(stack);
+    *consumed = pos;
+    return n_nodes;
+}
+
+/* ------------------------------------------------------------------ */
+/* approximate RLE (running average, reference hilbertc.rs:200-285)    */
+/* ------------------------------------------------------------------ */
+
+/* rgb: n*3 bytes in scan order. Emits (count u8, r, g, b) records:
+ * out_counts[i], out_colors[3*i..]. Caller allocates n records.
+ * Returns the record count. Exact f64 running-average semantics: a pixel is
+ * accepted iff dist(avg, pixel) <= allow, the run caps at 255 including the
+ * accepted pixel, and the emitted color is the rounded running average. */
+EXPORT int64_t approx_rle_encode(const uint8_t *rgb, int64_t n, double allow,
+                                 uint8_t *out_counts, uint8_t *out_colors) {
+    int64_t nrec = 0;
+    int64_t i = 0;
+    while (i < n) {
+        double sum0 = rgb[3 * i], sum1 = rgb[3 * i + 1], sum2 = rgb[3 * i + 2];
+        int64_t count = 1;
+        i++;
+        while (i < n && count < 255) {
+            double a0 = sum0 / (double)count;
+            double a1 = sum1 / (double)count;
+            double a2 = sum2 / (double)count;
+            double d0 = a0 - (double)rgb[3 * i];
+            double d1 = a1 - (double)rgb[3 * i + 1];
+            double d2 = a2 - (double)rgb[3 * i + 2];
+            double dist = sqrt(d0 * d0 + d1 * d1 + d2 * d2);
+            if (dist <= allow) {
+                sum0 += rgb[3 * i];
+                sum1 += rgb[3 * i + 1];
+                sum2 += rgb[3 * i + 2];
+                count++;
+                i++;
+            } else {
+                break;
+            }
+        }
+        out_counts[nrec] = (uint8_t)count;
+        out_colors[3 * nrec] = (uint8_t)round(sum0 / (double)count);
+        out_colors[3 * nrec + 1] = (uint8_t)round(sum1 / (double)count);
+        out_colors[3 * nrec + 2] = (uint8_t)round(sum2 / (double)count);
+        nrec++;
+    }
+    return nrec;
+}

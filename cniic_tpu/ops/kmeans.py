@@ -1,0 +1,150 @@
+"""K-means on the MXU (reference src/kmeans.rs rebuilt TPU-first).
+
+The reference spends its time in a CPU-clever assign loop (neighbour graphs,
+certainty radii, watermark-adaptive pruning, kmeans.rs:145-416). On TPU the
+dense formulation wins outright: the assignment step is a (points x d) @
+(d x centroids) matmul + argmin, blocked over points so the distance tile
+stays in budget; the update step is an exact integer segment-sum.
+
+Semantics preserved from the reference:
+
+* init: the point vector is split into k equal contiguous chunks from the
+  tail, the initial centroid is the first point of each chunk
+  (kmeans.rs:61-108);
+* a point moves only to a *strictly* closer centroid — ties keep the
+  current cluster (kmeans.rs:349-389);
+* means are integer-truncated (u64 division) — weighted for color counts
+  (clusterc.rs:92-113), plain component-wise for 5-D pixels
+  (clusterc.rs:221-247);
+* iteration runs until no point changes cluster (kmeans.rs:21-39);
+* empty clusters are repaired by stealing a random point
+  (kmeans.rs:110-137) — here with an explicitly seeded generator
+  (documented divergence: different RNG stream than Rust's thread_rng).
+
+Dropped (pure CPU optimizations, no effect on results): the neighbour-graph
+pruning and certainty-radius early-outs.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+log = logging.getLogger(__name__)
+
+_BLOCK = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmeans_iter(pts_f, pts_i, w, valid, cur, cents_f, k: int):
+    """One assign+update step. Shapes: pts [n_pad, d] (f32 / int64),
+    w int64[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
+    cents_f f32[k, d]."""
+    n_pad, d = pts_f.shape
+    nb = n_pad // _BLOCK
+    c_sq = jnp.sum(cents_f * cents_f, axis=1)
+
+    def assign_block(args):
+        p, c = args
+        # squared Euclidean distance via the MXU
+        d2 = (
+            jnp.sum(p * p, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(p, cents_f.T, preferred_element_type=jnp.float32)
+            + c_sq[None, :]
+        )
+        best = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        best_d2 = jnp.min(d2, axis=1)
+        cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
+        return jnp.where(best_d2 < cur_d2, best, c)
+
+    new = jax.lax.map(assign_block, (pts_f.reshape(nb, _BLOCK, d), cur.reshape(nb, _BLOCK))).reshape(-1)
+    new = jnp.where(valid, new, 0)
+    changed = jnp.any(new != cur)
+
+    wsum = jax.ops.segment_sum(w, new, num_segments=k)
+    sums = jax.ops.segment_sum(pts_i * w[:, None], new, num_segments=k)
+    denom = jnp.maximum(wsum, 1)
+    cents_i = sums // denom[:, None]
+    empty = wsum == 0
+    return new, cents_i, empty, changed
+
+
+def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
+           seed: int = 0, max_iters: int = 10_000):
+    """Cluster integer-valued points.
+
+    points: (n, d) nonnegative integers (any dtype).
+    weights: optional (n,) positive integers (frequency weights).
+    Returns (centroids int64[k, d], assignment int32[n], n_iters).
+    """
+    points = np.asarray(points)
+    n, d = points.shape
+    if n < k:
+        raise ValueError(f"k-means needs at least k points ({n} < {k})")
+    ppc = n // k
+    if ppc == 0:
+        raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
+
+    # --- init (tail-chunk split, kmeans.rs:61-78) ---
+    assignment = np.empty(n, dtype=np.int32)
+    tail_start = n - (k - 1) * ppc
+    assignment[:tail_start] = k - 1
+    if k > 1:
+        j = np.arange(tail_start, n)
+        assignment[tail_start:] = (n - 1 - j) // ppc
+    centroids = np.empty((k, d), dtype=np.int64)
+    for i in range(k - 1):
+        centroids[i] = points[n - (i + 1) * ppc]
+    centroids[k - 1] = points[0]
+
+    # --- padding to the block size ---
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    pts_i = np.zeros((n_pad, d), dtype=np.int64)
+    pts_i[:n] = points
+    w = np.zeros(n_pad, dtype=np.int64)
+    w[:n] = 1 if weights is None else weights
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    cur = np.zeros(n_pad, dtype=np.int32)
+    cur[:n] = assignment
+
+    pts_f = jnp.asarray(pts_i, dtype=jnp.float32)
+    pts_i_dev = jnp.asarray(pts_i)
+    w_dev = jnp.asarray(w)
+    valid_dev = jnp.asarray(valid)
+    cur_dev = jnp.asarray(cur)
+
+    rng = np.random.default_rng(seed)
+    it = 0
+    while True:
+        cents_f = jnp.asarray(centroids, dtype=jnp.float32)
+        new_dev, cents_i, empty, changed = _kmeans_iter(
+            pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_f, k)
+        it += 1
+        centroids = np.asarray(cents_i)
+        empty = np.asarray(empty)
+        if empty.any():
+            # empty-cluster repair (kmeans.rs:110-137)
+            assign_host = np.asarray(new_dev)[:n]
+            occupied = np.unique(assign_host)
+            for c in np.flatnonzero(empty):
+                victim = rng.choice(occupied)
+                members = np.flatnonzero(assign_host == victim)
+                centroids[c] = points[rng.choice(members)]
+        cur_dev = new_dev
+        if not bool(changed) or it >= max_iters:
+            break
+
+    assignment = np.asarray(cur_dev)[:n]
+    active = np.unique(assignment).size
+    min_required = min(n, int(0.99 * k))
+    if active < min_required:
+        log.warning("k-means: only %d/%d active clusters", active, k)
+    log.info("k-means: %d iterations, %d active clusters", it, active)
+    return centroids, assignment, it

@@ -1,0 +1,127 @@
+"""Multi-chip scaling (SURVEY.md §2.4): batch-axis SPMD over a device mesh.
+
+The reference's only parallelism is rayon threads over images
+(bench.rs:22-27). The TPU equivalents implemented here:
+
+* :func:`make_mesh` — a 1-D ``jax.sharding.Mesh`` over all (or n) devices,
+  axis name ``"batch"``;
+* :func:`sharded_kmeans_step` — one full k-means iteration with the point
+  set sharded over the mesh: local MXU assignment + local integer segment
+  sums, combined with ``psum`` over ICI, centroids replicated. This is the
+  framework's "training step": the heaviest compute (cluster-colors /
+  voronoi encode) scales linearly in chips with one small collective per
+  iteration;
+* :func:`sharded_mse` — batched round-trip error with images sharded over
+  the mesh and a psum'd scalar reduction.
+
+Everything compiles with ``xla_force_host_platform_device_count`` CPU
+devices, so the sharding is CI-testable without hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+jax.config.update("jax_enable_x64", True)
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("batch",))
+
+
+def sharded_kmeans_step(mesh: Mesh, k: int, block: int = 1024):
+    """Build a jitted sharded k-means iteration.
+
+    Returns step(pts_f, pts_i, w, cur, cents_f) ->
+        (new_assign int32[n], cents int64[k, d], wsum int64[k], changed bool)
+    with pts/w/cur sharded on the batch axis and centroids replicated.
+    """
+
+    def _local(pts_f, pts_i, w, cur, cents_f):
+        n_loc, d = pts_f.shape
+        nb = max(n_loc // block, 1)
+        c_sq = jnp.sum(cents_f * cents_f, axis=1)
+
+        def assign_block(args):
+            p, c = args
+            d2 = (
+                jnp.sum(p * p, axis=1, keepdims=True)
+                - 2.0 * jnp.dot(p, cents_f.T, preferred_element_type=jnp.float32)
+                + c_sq[None, :]
+            )
+            best = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            best_d2 = jnp.min(d2, axis=1)
+            cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
+            return jnp.where(best_d2 < cur_d2, best, c)
+
+        new = jax.lax.map(
+            assign_block, (pts_f.reshape(nb, -1, d), cur.reshape(nb, -1))
+        ).reshape(-1)
+        changed_loc = jnp.any(new != cur)
+
+        wsum_loc = jax.ops.segment_sum(w, new, num_segments=k)
+        sums_loc = jax.ops.segment_sum(pts_i * w[:, None], new, num_segments=k)
+        # ICI collectives: replicate the centroid statistics
+        wsum = jax.lax.psum(wsum_loc, "batch")
+        sums = jax.lax.psum(sums_loc, "batch")
+        changed = jax.lax.psum(changed_loc.astype(jnp.int32), "batch") > 0
+        cents = sums // jnp.maximum(wsum, 1)[:, None]
+        return new, cents, wsum, changed
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P("batch", None), P("batch", None), P("batch"), P("batch"), P(None, None)),
+        out_specs=(P("batch"), P(None, None), P(None), P()),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_mse(mesh: Mesh):
+    """Batched MSE with the image batch sharded over chips.
+
+    step(x uint8[b, h, w, 3], y uint8[b, h, w, 3]) -> f64[b] per-image MSE.
+    """
+
+    def _local(x, y):
+        d = x.astype(jnp.float64) - y.astype(jnp.float64)
+        per_img = jnp.sum(d * d, axis=(1, 2, 3)) / (x.shape[1] * x.shape[2])
+        return per_img
+
+    sharded = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("batch"), P("batch")),
+        out_specs=P("batch"),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_voronoi_reconstruct(mesh: Mesh):
+    """Voronoi decode with the pixel rows sharded over chips.
+
+    step(xs u32[n], ys u32[n], cx u32[k], cy u32[k], kmask bool[k]) ->
+    int32[n] nearest-centroid ids under the reference's wrapping-u32 metric.
+    """
+
+    def _local(xs, ys, cx, cy, kmask):
+        dx = cx[None, :] - xs[:, None]
+        dy = cy[None, :] - ys[:, None]
+        d = dx * dx + dy * dy
+        d = jnp.where(kmask[None, :], d, jnp.uint32(0xFFFFFFFF))
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    sharded = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("batch"), P("batch"), P(None), P(None), P(None)),
+        out_specs=P("batch"),
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,115 @@
+"""Benchmark harness (reference src/bench.rs rebuilt).
+
+For every input image: encode -> record compressed size -> decode -> verify
+the round trip -> append a CSV row. Protocol details preserved exactly:
+
+* CSV path ``output/<codec-name>.csv`` with header
+  ``name, compressed_size, compression_ratio, error`` (bench.rs:67-75,85-91);
+* ``compression_ratio`` = compressed_bytes / (W*H*24) * 100 — the
+  bytes-vs-24 convention of bench.rs:41 (the comment there says "3 bytes RGB"
+  but multiplies by 24; scripts/png.py replicates it, so we must too);
+* ``error`` = mean over pixels of the squared Euclidean RGB distance
+  (bench.rs:95-104);
+* any nonzero error saves the decoded image to ``output/<stem>.png``; a
+  nonzero error from a codec claiming losslessness fails that image hard
+  (bench.rs:50-60) — the round-trip-or-die property;
+* per-image failures are reported and the run continues (bench.rs:78).
+
+Additions over the reference: per-image wall-clock + aggregate
+megapixels/sec, returned as a summary dict.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import image_io
+from .codecs.base import Codec
+
+
+def compute_error(x: np.ndarray, y: np.ndarray) -> float:
+    """MSE per bench.rs:95-104 (sum of squared channel diffs / pixel count)."""
+    d = x.astype(np.int64) - y.astype(np.int64)
+    tot = float((d.astype(np.float64) ** 2).sum())
+    return tot / (x.shape[0] * x.shape[1])
+
+
+@dataclass
+class BenchResult:
+    rows: list = field(default_factory=list)
+    failures: list = field(default_factory=list)
+    encode_s: float = 0.0
+    decode_s: float = 0.0
+    megapixels: float = 0.0
+
+    @property
+    def encode_mps(self) -> float:
+        return self.megapixels / self.encode_s if self.encode_s else 0.0
+
+    @property
+    def mean_ratio(self) -> float:
+        return float(np.mean([r[2] for r in self.rows])) if self.rows else 0.0
+
+    @property
+    def mean_error(self) -> float:
+        return float(np.mean([r[3] for r in self.rows])) if self.rows else 0.0
+
+
+def measure_all(codec: Codec, paths, output_dir: str = "output",
+                verbose: bool = True) -> BenchResult:
+    os.makedirs(output_dir, exist_ok=True)
+    csv_path = os.path.join(output_dir, f"{codec.name}.csv")
+    res = BenchResult()
+
+    with open(csv_path, "w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(["name", "compressed_size", "compression_ratio", "error"])
+        for p in paths:
+            try:
+                row = _measure_one(codec, p, output_dir, res, verbose)
+            except Exception as e:  # continue with other images (bench.rs:78)
+                res.failures.append((str(p), repr(e)))
+                print(f"error: {p}: {e!r}")
+                continue
+            if row is not None:
+                writer.writerow(row)
+                res.rows.append(row)
+    return res
+
+
+def _measure_one(codec: Codec, path, output_dir: str, res: BenchResult, verbose: bool):
+    if verbose:
+        print(f"Processing {path!r}...")
+    img = image_io.load_image(path)
+    h, w = img.shape[:2]
+
+    t0 = time.perf_counter()
+    data = codec.encode(img)
+    t1 = time.perf_counter()
+    decoded = codec.decode(data)
+    t2 = time.perf_counter()
+
+    res.encode_s += t1 - t0
+    res.decode_s += t2 - t1
+    res.megapixels += w * h / 1e6
+
+    compressed_size = len(data)
+    raw_size = w * h * 24  # bytes-vs-24 convention (bench.rs:41)
+    ratio = compressed_size / raw_size
+    error = compute_error(img, decoded)
+
+    if error != 0.0:
+        stem = os.path.splitext(os.path.basename(str(path)))[0]
+        image_io.save_png(decoded, os.path.join(output_dir, stem + ".png"))
+        if codec.is_lossless:
+            raise AssertionError(f"lossless codec {codec.name} round-trip mismatch (MSE={error})")
+
+    if verbose:
+        print(f"bench: {compressed_size} B, ratio {ratio * 100:.3f}%, MSE {error:.3f}, "
+              f"enc {t1 - t0:.3f}s dec {t2 - t1:.3f}s")
+    return [str(path), compressed_size, ratio * 100.0, error]

@@ -1,0 +1,143 @@
+"""End-to-end codec round trips and wire-level format checks."""
+
+import numpy as np
+import pytest
+
+from cniic_tpu import wire
+from cniic_tpu.codecs import from_spec
+from cniic_tpu.runner import compute_error
+
+LOSSLESS = ["hufman", "zip(dict)", "zip(back)", "hilbert(rle)", "hilbert(zip)", "delta"]
+LOSSY = ["hilbert(rle(4))", "cluster-colors(16)", "voronoi(32)"]
+
+
+@pytest.mark.parametrize("spec", LOSSLESS)
+def test_lossless_roundtrip(spec, test_image):
+    codec = from_spec(spec)
+    data = codec.encode(test_image)
+    dec = codec.decode(data)
+    assert np.array_equal(dec, test_image), spec
+
+
+@pytest.mark.parametrize("spec", LOSSLESS)
+@pytest.mark.parametrize("shape", [(1, 1), (1, 17), (16, 1), (3, 3), (37, 2)])
+def test_lossless_odd_shapes(spec, shape, rng):
+    img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+    codec = from_spec(spec)
+    assert np.array_equal(codec.decode(codec.encode(img)), img), (spec, shape)
+
+
+@pytest.mark.parametrize("spec", LOSSY)
+def test_lossy_roundtrip_shape_and_error(spec, test_image):
+    codec = from_spec(spec)
+    dec = codec.decode(codec.encode(test_image))
+    assert dec.shape == test_image.shape
+    assert compute_error(test_image, dec) > 0
+
+
+def test_hufman_header_and_flat_image():
+    img = np.full((4, 6, 3), 7, np.uint8)
+    codec = from_spec("hufman")
+    data = codec.encode(img)
+    # header: w=6, h=4 LE u32s, then single-leaf tree (tag 0 + 11-byte Rgb)
+    assert data[:8] == wire.pack_dims(6, 4)
+    assert data[8] == 0
+    assert data[9:20] == wire.pack_rgb(7, 7, 7)
+    assert len(data) == 20  # zero payload bits for a 1-symbol alphabet
+    assert np.array_equal(codec.decode(data), img)
+
+
+def test_hilbert_rle_flat_image_record_format():
+    img = np.full((16, 16, 3), 9, np.uint8)  # 256 pixels -> runs 255 + 1
+    codec = from_spec("hilbert(rle)")
+    data = codec.encode(img)
+    assert data[:8] == wire.pack_dims(16, 16)
+    body = data[8:]
+    assert len(body) == 2 * 12
+    assert body[0] == 255 and body[1:12] == wire.pack_rgb(9, 9, 9)
+    assert body[12] == 1
+    assert np.array_equal(codec.decode(data), img)
+
+
+def test_delta_flat_image_small():
+    img = np.full((8, 8, 3), 100, np.uint8)
+    codec = from_spec("delta")
+    data = codec.encode(img)
+    dec = codec.decode(data)
+    assert np.array_equal(dec, img)
+    # alphabet = {(100,100,100) once, (0,0,0) x63}: tree = 3 nodes
+    # 8B dims + (1+6)*2 leaves + 1 branch tag + 64 bits payload = 8+15+8
+    assert len(data) == 8 + 15 + 8
+
+
+def test_voronoi_wire_format(test_image):
+    codec = from_spec("voronoi(8)")
+    data = codec.encode(test_image)
+    r = wire.ByteReader(data)
+    w, h = r.dims()
+    assert (w, h) == (test_image.shape[1], test_image.shape[0])
+    k = r.u64()
+    assert k == 8
+    assert r.remaining() == 8 * 19  # 19 bytes per centroid
+    for _ in range(8):
+        x = r.u32()
+        y = r.u32()
+        rgb = r.rgb()
+        assert 0 <= x < w and 0 <= y < h
+
+
+def test_voronoi_decode_semantics():
+    """Decode is position-only nearest centroid under wrapping-u32 ops
+    (clusterc.rs:180-186). Modular squaring makes the wrapped distance equal
+    the plain squared distance, so the quirk reduces to: COLOR IS IGNORED.
+    Verify both the distance behavior and the mod-2^32 equivalence."""
+    from cniic_tpu.ops import voronoi
+
+    xy = np.array([[0, 0], [3, 3]], np.uint32)
+    colors = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    out = voronoi.reconstruct(xy, colors, 4, 4)
+    # plain 2-D nearest: (1,1) -> A (d2=2 vs 8); (2,2) -> B (d2=8 vs 2)
+    assert out[1, 1].tolist() == [255, 0, 0]
+    assert out[2, 2].tolist() == [0, 255, 0]
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[3, 3].tolist() == [0, 255, 0]
+    # tie (1,2)/(2,1): d2 = 5 both -> first centroid wins (min_by_key)
+    assert out[2, 1].tolist() == [255, 0, 0]
+    assert out[1, 2].tolist() == [255, 0, 0]
+
+    # numpy model of the exact wrapping expression equals plain distance
+    x, y = np.uint32(2), np.uint32(2)
+    cx, cy = np.uint32(0), np.uint32(0)
+    with np.errstate(over="ignore"):
+        wrapped = (cx - x) * (cx - x) + (cy - y) * (cy - y)
+    assert int(wrapped) == 8
+
+
+def test_cluster_colors_decodes_via_hufman(test_image):
+    cc = from_spec("cluster-colors(8)")
+    data = cc.encode(test_image)
+    huf = from_spec("hufman")
+    a = cc.decode(data)
+    b = huf.decode(data)
+    assert np.array_equal(a, b)
+    # at most 8 distinct colors in the reconstruction
+    flat = a.reshape(-1, 3)
+    assert np.unique(flat, axis=0).shape[0] <= 8
+
+
+def test_zip_frames_dims_inside_stream(test_image):
+    codec = from_spec("zip(dict)")
+    data = codec.encode(test_image)
+    from cniic_tpu import native
+
+    raw = native.zip_dict_decode(bytes(data))
+    h, w = test_image.shape[:2]
+    assert raw[:8] == wire.pack_dims(w, h)
+    assert len(raw) == 8 + w * h * 11
+
+
+def test_hilbert_zip_frames_dims_outside(test_image):
+    codec = from_spec("hilbert(zip)")
+    data = codec.encode(test_image)
+    h, w = test_image.shape[:2]
+    assert data[:8] == wire.pack_dims(w, h)

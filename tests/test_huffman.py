@@ -1,0 +1,117 @@
+"""Huffman vectors (reference huf.rs tests) + device/host packer parity."""
+
+import numpy as np
+import pytest
+
+from cniic_tpu import huffman, native, wire
+from cniic_tpu.ops import bitpack
+
+
+def test_code_lens_abc():
+    # huf.rs:417-424: freqs a:2 b:1 c:1 -> lens 1,2,2
+    book = huffman.build_codebook(np.array([2, 1, 1], np.uint64))
+    assert book.lens.tolist() == [1, 2, 2]
+
+
+def test_single_symbol_zero_length():
+    # huf.rs:140-142: one symbol encodes with zero bits
+    book = huffman.build_codebook(np.array([42], np.uint64))
+    assert book.lens.tolist() == [0]
+    payloads = np.array([[7, 7, 7, 7, 7, 7]], np.uint8)
+    stream = huffman.encode_stream(np.zeros(5, np.int32), np.array([42], np.uint64), payloads)
+    # tree = single leaf tag + 6-byte payload, no payload bits
+    assert stream == bytes([0, 7, 7, 7, 7, 7, 7])
+    got_payloads, ids = huffman.decode_stream(stream, 6, 5)
+    assert ids.tolist() == [0] * 5
+
+
+def test_kraft_equality(rng):
+    freqs = rng.integers(1, 1000, 500).astype(np.uint64)
+    book = huffman.build_codebook(freqs)
+    assert abs(np.sum(2.0 ** -book.lens.astype(np.float64)) - 1.0) < 1e-9
+
+
+def test_optimal_total_bits():
+    # total payload bits must equal sum(freq * len) of ANY optimal code;
+    # cross-check against a straightforward heapq huffman
+    import heapq
+    rng = np.random.default_rng(7)
+    freqs = rng.integers(1, 100, 64).astype(np.int64)
+    heap = [(int(f), i) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    total_ref = 0
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        total_ref += a[0] + b[0]
+        heapq.heappush(heap, (a[0] + b[0], -1))
+    book = huffman.build_codebook(freqs.astype(np.uint64))
+    total_ours = int((freqs * book.lens.astype(np.int64)).sum())
+    assert total_ours == total_ref
+
+
+def test_tree_serialization_roundtrip(rng):
+    freqs = rng.integers(1, 500, 40).astype(np.uint64)
+    book = huffman.build_codebook(freqs)
+    payloads = rng.integers(0, 256, (40, 11)).astype(np.uint8)
+    tree = huffman.serialize_tree(book, payloads)
+    # 2u-1 tags + u*leaf
+    assert len(tree) == (2 * 40 - 1) + 40 * 11
+    left, right, symbol, got_payloads, consumed = huffman.parse_tree(tree, 11)
+    assert consumed == len(tree)
+    # every original payload appears exactly once
+    assert sorted(map(bytes, got_payloads)) == sorted(map(bytes, payloads))
+
+
+def test_encode_decode_roundtrip(rng):
+    u = 200
+    freqs = rng.integers(1, 5000, u).astype(np.uint64)
+    payloads = rng.integers(0, 256, (u, 11)).astype(np.uint8)
+    ids = rng.integers(0, u, 7000).astype(np.int32)
+    stream = huffman.encode_stream(ids, freqs, payloads)
+    got_payloads, got_ids = huffman.decode_stream(stream, 11, ids.size)
+    assert np.array_equal(got_payloads[got_ids], payloads[ids])
+
+
+def test_device_host_pack_parity(rng):
+    u = 64
+    freqs = rng.integers(1, 5000, u).astype(np.uint64)
+    book = huffman.build_codebook(freqs)
+    ids = rng.integers(0, u, 3000).astype(np.int32)
+    dev = bitpack.pack_bits_device(ids, book.codes, book.lens)
+    host = bitpack.pack_bits_numpy(book.codes[ids], book.lens[ids])
+    assert dev == host
+
+
+def test_pack_matches_bitwriter(rng):
+    """The vectorized packer must equal the sequential MSB-first writer."""
+    codes = np.array([0b010, 0b0110011, 0b1], np.uint64)
+    lens = np.array([3, 7, 1], np.uint32)
+    ids = np.array([0, 1, 2, 2, 1, 0], np.int32)
+    bw = wire.BitWriter()
+    for i in ids:
+        bw.write_bits(int(codes[i]), int(lens[i]))
+    bw.pad_and_flush()
+    assert bitpack.pack_bits_numpy(codes[ids], lens[ids]) == bw.getvalue()
+    assert bitpack.pack_bits_device(ids, codes, lens) == bw.getvalue()
+
+
+def test_long_codes_pack():
+    """Codes up to 63 bits span three 32-bit words in the device packer."""
+    codes = np.array([(1 << 63) - 1, 0, 5], np.uint64)
+    lens = np.array([63, 1, 3], np.uint32)
+    ids = np.array([0, 1, 0, 2, 1, 0], np.int32)
+    host = bitpack.pack_bits_numpy(codes[ids], lens[ids])
+    dev = bitpack.pack_bits_device(ids, codes, lens)
+    assert dev == host
+
+
+def test_huf_decode_walker():
+    # hand-built trie: root -> (leaf a | branch -> (leaf b | leaf c))
+    left = np.array([1, -1, 3, -1, -1], np.int32)
+    right = np.array([2, -1, 4, -1, -1], np.int32)
+    symbol = np.array([-1, 0, -1, 1, 2], np.int32)
+    # bits: a=0 b=10 c=11; stream "abcabc" = 0 10 11 0 10 11 -> 0101 1010 11(pad)
+    payload = bytes([0b01011010, 0b11000000])
+    out = native.huf_decode(payload, left, right, symbol, 0, 6)
+    assert out.tolist() == [0, 1, 2, 0, 1, 2]
