@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import hilbert, huffman, wire
+from ..ops import histogram
 from .base import Codec
 
 
@@ -35,7 +36,7 @@ class Delta(Codec):
         np.subtract(scan[1:], scan[:-1], out=diffs[1:])
 
         keys = _pack_diffs(diffs)
-        uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
+        uniq, counts, inverse = histogram.key_histogram(keys)
         uniq_diffs = np.empty((uniq.size, 3), dtype=np.int16)
         uniq_diffs[:, 0] = ((uniq >> 18) & 0x1FF).astype(np.int16) - 255
         uniq_diffs[:, 1] = ((uniq >> 9) & 0x1FF).astype(np.int16) - 255

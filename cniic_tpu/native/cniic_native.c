@@ -516,9 +516,14 @@ static PosVec *gen_get(Gen *g, uint64_t key) {
     return &g->pool[g->map.v0[s]];
 }
 
+/* In the encoder the committed history is always exactly the already-
+ * consumed input prefix (both the explicit-extend and lookback-commit paths
+ * write input bytes in order, back.rs:176-179, 279-287), so the ring buffer
+ * degenerates to a window [total-65535, total) over the input itself — no
+ * ring storage, no per-byte modulo. Only the index positions need aging. */
 typedef struct {
-    uint8_t ring[ZB_RING];
-    int64_t total;   /* bytes written to history so far (stream position) */
+    const uint8_t *in;
+    int64_t total;   /* bytes committed to history so far (== input prefix) */
     Gen old_gen, new_gen;
 } History;
 
@@ -528,43 +533,35 @@ static inline uint64_t key6(const uint8_t *p) {
     return k;
 }
 
-static inline uint8_t hist_at(const History *h, int64_t gpos) {
-    return h->ring[gpos % ZB_RING];
-}
-
-static int hist_write(History *h, uint8_t b) {
-    int64_t q = h->total;
-    h->ring[q % ZB_RING] = b;
-    h->total = q + 1;
-    /* index maintenance (back.rs:538-559) */
-    if (q >= ZB_MINREP - 1) {
-        int64_t p = q - (ZB_MINREP - 1);
-        uint8_t kb[ZB_MINREP];
-        for (int i = 0; i < ZB_MINREP; i++) kb[i] = hist_at(h, p + i);
-        if (!gen_add(&h->new_gen, key6(kb), p)) return 0;
-    }
-    if ((q % ZB_RING) == 0 && h->new_gen.map.count > 0) {
-        /* wrap-around: old entries can no longer be valid; age generations */
-        gen_clear(&h->old_gen);
-        Gen tmp = h->old_gen;
-        h->old_gen = h->new_gen;
-        h->new_gen = tmp;
+/* Commit input bytes [total, total+count) to history, updating the index
+ * exactly as the reference does per byte (back.rs:538-559). */
+static int hist_commit(History *h, int64_t count) {
+    const uint8_t *in = h->in;
+    for (int64_t c = 0; c < count; c++) {
+        int64_t q = h->total++;
+        if (q >= ZB_MINREP - 1) {
+            int64_t p = q - (ZB_MINREP - 1);
+            if (!gen_add(&h->new_gen, key6(in + p), p)) return 0;
+        }
+        if (q % ZB_RING == 0 && h->new_gen.map.count > 0) {
+            /* wrap-around: age the generations */
+            gen_clear(&h->old_gen);
+            Gen tmp = h->old_gen;
+            h->old_gen = h->new_gen;
+            h->new_gen = tmp;
+        }
     }
     return 1;
 }
 
-static inline int hist_contains(const History *h, int64_t gpos) {
-    int64_t start = h->total > ZB_RING ? h->total - ZB_RING : 0;
-    return gpos >= start && gpos < h->total;
-}
-
-/* Longest match of in[pos..n) against history, searched via the 6-byte
- * prefix index; first strictly-longer candidate wins (back.rs:253-277).
- * Returns length; *back_out = distance from the history head. */
+/* Longest match of in[pos..n) against the history window, searched via the
+ * 6-byte prefix index; first strictly-longer candidate wins
+ * (back.rs:253-277). Returns length; *back_out = distance from the head. */
 static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
                           int64_t *back_out) {
     if (n - pos < ZB_MINREP) return 0;
     uint64_t key = key6(in + pos);
+    int64_t window_start = h->total > ZB_RING ? h->total - ZB_RING : 0;
     int64_t best_len = 0, best_back = 0;
     Gen *gens[2] = {&h->old_gen, &h->new_gen};
     for (int gi = 0; gi < 2; gi++) {
@@ -572,13 +569,30 @@ static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
         if (!v) continue;
         for (int64_t i = 0; i < v->len; i++) {
             int64_t cand = v->pos[i];
-            if (!hist_contains(h, cand)) continue;
-            int64_t max_len = h->total - cand; /* match may not run past history end */
-            int64_t lim = n - pos;
-            if (max_len < lim) lim = max_len;
+            if (cand < window_start) continue; /* aged out */
+            int64_t lim = h->total - cand; /* match may not run past history end */
+            if (n - pos < lim) lim = n - pos;
             if (lim > ZB_MAXLEN) lim = ZB_MAXLEN;
+            if (lim <= best_len) continue;
+            /* quick reject: to beat best_len the (best_len+1)-prefix must
+             * match, so the byte at best_len must (same winner selected) */
+            if (in[cand + best_len] != in[pos + best_len]) continue;
+            const uint8_t *a = in + pos, *c = in + cand;
             int64_t l = 0;
-            while (l < lim && in[pos + l] == hist_at(h, cand + l)) l++;
+            while (l + 8 <= lim) {
+                uint64_t xa, xc;
+                memcpy(&xa, a + l, 8);
+                memcpy(&xc, c + l, 8);
+                if (xa != xc) {
+                    uint64_t diff = xa ^ xc;
+                    l += (int64_t)(__builtin_ctzll(diff) >> 3);
+                    goto done;
+                }
+                l += 8;
+            }
+            while (l < lim && a[l] == c[l]) l++;
+        done:
+            if (l > lim) l = lim;
             if (l > best_len) {
                 best_len = l;
                 best_back = h->total - cand;
@@ -594,6 +608,7 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
     History *h = (History *)calloc(1, sizeof(History));
     Buf b;
     if (!h) return -1;
+    h->in = in;
     if (!gen_init(&h->old_gen) || !gen_init(&h->new_gen) || !buf_init(&b, n / 2 + 64)) {
         free(h);
         return -1;
@@ -613,7 +628,7 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
                 exp_len = 0;
             }
             if (ok) {
-                for (int64_t i = 0; i < mlen && ok; i++) ok = hist_write(h, in[pos + i]);
+                ok = hist_commit(h, mlen);
                 ok = ok && buf_push_u16le(&b, (uint16_t)(mlen | 0x8000)) &&
                      buf_push_u16le(&b, (uint16_t)back);
                 pos += mlen;
@@ -625,7 +640,7 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
             if (exp_len + want > ZB_MAXLEN) want = ZB_MAXLEN - exp_len;
             int64_t got = n - pos < want ? n - pos : want;
             if (exp_len == 0) exp_start = pos;
-            for (int64_t i = 0; i < got && ok; i++) ok = hist_write(h, in[pos + i]);
+            ok = hist_commit(h, got);
             pos += got;
             exp_len += got;
             if (exp_len == ZB_MAXLEN) {
@@ -653,11 +668,11 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
 
 EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
                            uint8_t **out, int64_t *out_len) {
-    uint8_t *ring = (uint8_t *)malloc(ZB_RING);
+    /* The decode history is always the already-decoded output prefix, so
+     * lookbacks copy straight out of the output buffer (len <= back, so the
+     * source region never overlaps the destination). */
     Buf b;
-    if (!ring) return -1;
-    if (!buf_init(&b, n * 2 + 64)) { free(ring); return -1; }
-    int64_t total = 0;
+    if (!buf_init(&b, n * 2 + 64)) return -1;
     int64_t pos = 0;
     int ok = 1;
     while (pos + 2 <= n && ok) {
@@ -668,27 +683,17 @@ EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
             if (pos + 2 > n) { ok = 0; break; }
             uint16_t back = (uint16_t)(in[pos] | (in[pos + 1] << 8));
             pos += 2;
-            int64_t start = total - (int64_t)back;
+            int64_t start = b.len - (int64_t)back;
             if (start < 0 || len > (int64_t)back) { ok = 0; break; }
             if (!buf_reserve(&b, len)) { ok = 0; break; }
-            for (int64_t i = 0; i < len; i++)
-                b.data[b.len + i] = ring[(start + i) % ZB_RING];
-            for (int64_t i = 0; i < len; i++) {
-                ring[total % ZB_RING] = b.data[b.len + i];
-                total++;
-            }
+            memcpy(b.data + b.len, b.data + start, (size_t)len);
             b.len += len;
         } else {
             if (pos + len > n) { ok = 0; break; }
             if (!buf_push_all(&b, in + pos, len)) { ok = 0; break; }
-            for (int64_t i = 0; i < len; i++) {
-                ring[total % ZB_RING] = in[pos + i];
-                total++;
-            }
             pos += len;
         }
     }
-    free(ring);
     if (!ok) { free(b.data); return -1; }
     *out = b.data;
     *out_len = b.len;
