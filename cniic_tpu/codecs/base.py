@@ -28,6 +28,15 @@ class Codec(abc.ABC):
     @abc.abstractmethod
     def is_lossless(self) -> bool: ...
 
+    def encode_batch(self, imgs) -> list[bytes]:
+        """Encode a batch of images.
+
+        Default: sequential loop. Codecs with lane-/batch-parallel device
+        paths (approximate RLE, k-means families) override this to amortize
+        dispatch and fill the vector lanes.
+        """
+        return [self.encode(img) for img in imgs]
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"<codec {self.name}>"
 

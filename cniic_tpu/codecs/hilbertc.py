@@ -81,6 +81,29 @@ class Hilbert(Codec):
             scan = scan[:n]
         return hilbert.scatter(scan, w, h)
 
+    def encode_batch(self, imgs) -> list[bytes]:
+        """Approximate RLE encodes whole batches in one lane-parallel Pallas
+        sweep (ops/approx_rle.py); other modes fall back to the loop."""
+        if self.mode != "rle" or self.allow == 0.0 or len(imgs) < 2:
+            return [self.encode(img) for img in imgs]
+        from ..ops import approx_rle as parle
+
+        scans = []
+        lens = []
+        for img in imgs:
+            scans.append(hilbert.linearize(img))
+            lens.append(scans[-1].shape[0])
+        L = max(lens)
+        batch = np.zeros((len(imgs), L, 3), np.uint8)
+        for i, s in enumerate(scans):
+            batch[i, : s.shape[0]] = s
+        recs = parle.approx_rle_batch(batch, np.asarray(lens, np.int64), self.allow)
+        out = []
+        for img, (counts, colors) in zip(imgs, recs):
+            h, w = img.shape[:2]
+            out.append(wire.pack_dims(w, h) + _records_to_bytes(counts, colors))
+        return out
+
     @property
     def name(self) -> str:
         if self.mode == "zip":

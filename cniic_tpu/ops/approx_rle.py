@@ -1,0 +1,173 @@
+"""Lane-parallel approximate RLE (Pallas, TPU).
+
+The running-average acceptance recurrence (reference hilbertc.rs:200-285) is
+non-associative and strictly sequential *within* a stream, but independent
+*across* streams. TPU formulation:
+
+* B streams become lanes of an (L, 8, 128) array (1024 lanes = one full VPU
+  tile per step);
+* the grid walks length-blocks sequentially; run state (channel sums, count,
+  pending emission) lives in VMEM scratch and carries across grid steps —
+  the standard chunk+carry pattern;
+* every loop step performs one dense write: the record of any run that
+  ended at the *previous* position (a reject ends the run at i-1; a cap or
+  stream-end at i-1 is carried as a pending record and written at i). The
+  two cases are mutually exclusive, so each output row is written exactly
+  once. One trailing block flushes the final runs.
+
+Output: packed int32 per position, ``1<<24 | r<<16 | g<<8 | b`` where a run
+ended at the previous position, else 0. Host compaction recovers the
+(count, color) records; counts never exceed 255 because the cap emits
+in-kernel.
+
+Numerics: channel sums are integers <= 255*255, exact in f32; only the
+divide and distance compare round differently from the reference's f64
+(decision flips only within ~1e-4 of the allowance — frontier-level no-op;
+the native C engine keeps the exact-f64 single-stream path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 1024
+BLOCK = 512
+RUN_CAP = 255.0
+
+
+def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend):
+    gi = pl.program_id(0)
+
+    @pl.when(gi == 0)
+    def _():
+        s0[...] = jnp.zeros_like(s0)
+        s1[...] = jnp.zeros_like(s1)
+        s2[...] = jnp.zeros_like(s2)
+        cnt[...] = jnp.zeros_like(cnt)
+        pend[...] = jnp.zeros_like(pend)
+
+    allow2 = allow_ref[0] * allow_ref[0]
+    lengths = len_ref[...].astype(jnp.float32)  # (8, 128)
+    base = (gi * BLOCK).astype(jnp.float32)
+
+    def step(i, _):
+        packed = rgb_ref[i]  # (8, 128) int32
+        r = ((packed >> 16) & 0xFF).astype(jnp.float32)
+        g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+        b = (packed & 0xFF).astype(jnp.float32)
+        pos = base + jnp.float32(i)
+        active = pos < lengths
+
+        c = cnt[...]
+        fresh = c == 0.0
+        # acceptance test scaled by count^2: sum_i (s_i - c*x_i)^2 <= (d*c)^2
+        # — every term is an exact-in-f32 integer (<= 255*255), so the
+        # decision matches the reference's f64 avg-form at exact-tie
+        # boundaries instead of flipping on 1/c rounding
+        t0 = s0[...] - c * r
+        t1 = s1[...] - c * g
+        t2 = s2[...] - c * b
+        dist2 = t0 * t0 + t1 * t1 + t2 * t2
+        accept = jnp.logical_and(jnp.logical_not(fresh), dist2 <= allow2 * c * c)
+        inv = 1.0 / jnp.maximum(c, 1.0)
+        a0 = s0[...] * inv
+        a1 = s1[...] * inv
+        a2 = s2[...] * inv
+        reject = jnp.logical_and(jnp.logical_and(active, jnp.logical_not(fresh)),
+                                 jnp.logical_not(accept))
+
+        # record of a run ending at pos-1: either the carried pending record
+        # (cap/stream-end decided last step) or a reject of the open run
+        def pack_rgb(x0, x1, x2):
+            return ((x0 + 0.5).astype(jnp.int32) << 16) | ((x1 + 0.5).astype(jnp.int32) << 8) | (x2 + 0.5).astype(jnp.int32)
+
+        reject_rec = (jnp.int32(1) << 24) | pack_rgb(a0, a1, a2)
+        out_ref[i] = jnp.where(reject, reject_rec, pend[...])
+
+        # advance the run
+        ns0 = jnp.where(accept, s0[...] + r, r)
+        ns1 = jnp.where(accept, s1[...] + g, g)
+        ns2 = jnp.where(accept, s2[...] + b, b)
+        ncnt = jnp.where(accept, c + 1.0, 1.0)
+
+        capped = ncnt >= RUN_CAP
+        last = jnp.logical_and(active, pos >= lengths - 1.0)
+        close = jnp.logical_and(active, jnp.logical_or(capped, last))
+        inv_n = 1.0 / jnp.maximum(ncnt, 1.0)
+        close_rec = (jnp.int32(1) << 24) | pack_rgb(ns0 * inv_n, ns1 * inv_n, ns2 * inv_n)
+        pend[...] = jnp.where(close, close_rec, 0)
+
+        keep = jnp.logical_and(active, jnp.logical_not(close))
+        s0[...] = jnp.where(keep, ns0, 0.0)
+        s1[...] = jnp.where(keep, ns1, 0.0)
+        s2[...] = jnp.where(keep, ns2, 0.0)
+        cnt[...] = jnp.where(keep, ncnt, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, BLOCK, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def _run(allow, lens, rgb, n_blocks: int, interpret: bool = False):
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, 8, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM((8, 128), jnp.int32)],
+        interpret=interpret,
+    )(allow, lens, rgb)
+
+
+def approx_rle_batch(scans, lengths, allow: float, interpret: bool | None = None):
+    """Encode up to LANES streams in one kernel sweep.
+
+    scans: (B, L, 3) uint8 (zero-padded); lengths: (B,). Returns a list of
+    (counts uint8[R], colors uint8[R, 3]) per stream, identical to the
+    reference recurrence up to f32-vs-f64 boundary rounding.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scans = np.ascontiguousarray(scans, dtype=np.uint8)
+    B, L, _ = scans.shape
+    out = []
+    for start in range(0, B, LANES):
+        chunk = scans[start : start + LANES]
+        ln = np.asarray(lengths[start : start + LANES], dtype=np.int32)
+        nb = chunk.shape[0]
+        # +1 position for the final flush, rounded up to whole blocks
+        n_blocks = (L + 1 + BLOCK - 1) // BLOCK
+        lp = n_blocks * BLOCK
+        packed = np.zeros((lp, LANES), np.int32)
+        c = chunk.astype(np.int32)
+        packed[:L, :nb] = ((c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]).T
+        lens = np.zeros((8, 128), np.int32)
+        lens.reshape(-1)[:nb] = ln
+        allow_arr = np.asarray([allow], np.float32)
+
+        recs = _run(jnp.asarray(allow_arr), jnp.asarray(lens),
+                    jnp.asarray(packed.reshape(lp, 8, 128)), n_blocks,
+                    interpret=interpret)
+        recs = np.asarray(recs).reshape(lp, LANES)
+        for j in range(nb):
+            n_j = int(ln[j])
+            col = recs[: n_j + 1, j]
+            ends = np.flatnonzero(col >> 24)  # record at p => run ended at p-1
+            counts = np.diff(np.concatenate([[0], ends])).astype(np.uint8)
+            vals = col[ends]
+            colors = np.stack([(vals >> 16) & 0xFF, (vals >> 8) & 0xFF, vals & 0xFF],
+                              axis=1).astype(np.uint8)
+            out.append((counts, colors))
+    return out

@@ -141,3 +141,13 @@ def test_hilbert_zip_frames_dims_outside(test_image):
     data = codec.encode(test_image)
     h, w = test_image.shape[:2]
     assert data[:8] == wire.pack_dims(w, h)
+
+
+def test_encode_batch_matches_sequential(rng, test_image):
+    imgs = [test_image, test_image[:17, :23].copy(),
+            rng.integers(0, 256, (9, 31, 3)).astype(np.uint8)]
+    for spec in ["hilbert(rle(4))", "hufman", "hilbert(rle)"]:
+        codec = from_spec(spec)
+        batch = codec.encode_batch(imgs)
+        seq = [codec.encode(im) for im in imgs]
+        assert batch == seq, spec
