@@ -70,11 +70,12 @@ def main() -> int:
     for spec, side, n_imgs in SUITE:
         codec = from_spec(spec)
         imgs = [synth_image(rng, side, side) for _ in range(n_imgs)]
-        # warmup (jit compiles, native lib build) on a small image
-        codec.encode(imgs[0][: side // 4, : side // 4])
+        # warmup (jit compiles, native lib build, first-fetch toll) at the
+        # real shape so the timed run hits warm caches
+        codec.encode_batch(imgs[:2])
 
         t0 = time.perf_counter()
-        blobs = [codec.encode(im) for im in imgs]
+        blobs = codec.encode_batch(imgs)
         enc_s = time.perf_counter() - t0
 
         mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6

@@ -84,13 +84,21 @@ def main(argv=None) -> int:
         _special_hilbert(files)
         return 0
 
+    batch = 1
+    if files and files[0].startswith("--batch="):
+        batch = int(files[0][len("--batch="):])
+        files = files[1:]
+    elif command.startswith("--batch="):
+        batch = int(command[len("--batch="):])
+        command, files = files[0], files[1:]
+
     if command.startswith("--codec="):
         try:
             codec = from_spec(command[len("--codec="):])
         except Exception as e:
             print(f"Malformed codec argument\n{e}", file=sys.stderr)
             return 1
-        res = runner.measure_all(codec, files)
+        res = runner.measure_all(codec, files, batch=batch)
         print(f"{codec.name}: {len(res.rows)} images ok, {len(res.failures)} failed; "
               f"mean ratio {res.mean_ratio:.3f}%, mean MSE {res.mean_error:.3f}; "
               f"encode {res.encode_mps:.2f} MP/s")

@@ -52,10 +52,41 @@ class Delta(Codec):
         n = w * h
         payloads, ids = huffman.decode_stream(r.rest(), LEAF_SIZE, n)
         diffs = wire.wire_to_i16_triplets(np.asarray(payloads).reshape(-1), payloads.shape[0])
-        scan = np.cumsum(diffs[ids].astype(np.int32), axis=0)
+        # cumsum per contiguous channel column (a direct axis-0 cumsum on an
+        # (N, 3) array is ~70x slower in numpy)
+        picked = diffs[ids].astype(np.int32)
+        scan = np.empty_like(picked)
+        for ch in range(3):
+            np.cumsum(np.ascontiguousarray(picked[:, ch]), out=scan[:, ch])
         if scan.size and (scan.min() < 0 or scan.max() > 255):
             raise wire.WireError("delta decode out of u8 range")
         return hilbert.scatter(scan.astype(np.uint8), w, h)
+
+    def encode_batch(self, imgs) -> list[bytes]:
+        """Batched device pipeline: Hilbert gather + diff on host (cheap),
+        sort/stats/pack on device (huffman.batch_encode)."""
+        if len(imgs) < 2:
+            return [self.encode(img) for img in imgs]
+
+        def payload_fn(uniq_keys):
+            uniq_diffs = np.empty((uniq_keys.size, 3), dtype=np.int16)
+            uniq_diffs[:, 0] = ((uniq_keys >> 18) & 0x1FF).astype(np.int16) - 255
+            uniq_diffs[:, 1] = ((uniq_keys >> 9) & 0x1FF).astype(np.int16) - 255
+            uniq_diffs[:, 2] = (uniq_keys & 0x1FF).astype(np.int16) - 255
+            return wire.i16_triplets_to_wire(uniq_diffs).reshape(-1, LEAF_SIZE)
+
+        keys = []
+        for img in imgs:
+            scan = hilbert.linearize(img).astype(np.int16)
+            diffs = np.empty_like(scan)
+            diffs[0] = scan[0]
+            np.subtract(scan[1:], scan[:-1], out=diffs[1:])
+            keys.append(_pack_diffs(diffs))
+        streams = huffman.batch_encode(keys, payload_fn)
+        return [
+            wire.pack_dims(img.shape[1], img.shape[0]) + s
+            for img, s in zip(imgs, streams)
+        ]
 
     @property
     def name(self) -> str:

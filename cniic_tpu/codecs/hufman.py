@@ -38,6 +38,23 @@ class Hufman(Codec):
         colors = wire.wire_to_rgb_stream(np.asarray(payloads).reshape(-1))
         return colors[ids].reshape(h, w, 3)
 
+    def encode_batch(self, imgs) -> list[bytes]:
+        """Device-resident batched encode: one batched sort + segment stats
+        + pack for the whole group (huffman.batch_encode)."""
+        if len(imgs) < 2:
+            return [self.encode(img) for img in imgs]
+
+        def payload_fn(uniq_keys):
+            colors = histogram.unpack_colors(uniq_keys)
+            return np.frombuffer(wire.rgb_stream_to_wire(colors), dtype=np.uint8).reshape(-1, wire.RGB_WIRE_SIZE)
+
+        keys = [histogram.pack_colors(pixels_row_major(img)) for img in imgs]
+        streams = huffman.batch_encode(keys, payload_fn)
+        return [
+            wire.pack_dims(img.shape[1], img.shape[0]) + s
+            for img, s in zip(imgs, streams)
+        ]
+
     @property
     def name(self) -> str:
         return "Hufman"

@@ -110,6 +110,53 @@ def encode_stream(symbol_ids: np.ndarray, freqs: np.ndarray,
     return serialize_tree(book, leaf_payloads) + encode_payload(symbol_ids, book, device=device)
 
 
+def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
+    """Device-resident batched Huffman encode (tree bytes + packed payload
+    per stream).
+
+    keys_list: per-stream uint32 symbol-key arrays (values < 2^31-1).
+    uniq_to_payload: fn(uniq_keys uint32[u]) -> uint8[u, leaf_size] wire
+    payloads for the tree leaves.
+
+    The symbol statistics (sort + segment reductions) and the per-symbol hot
+    loop (searchsorted id resolution + code gather + bit packing) all run on
+    the device; only per-image uniques/counts and final payload bytes cross
+    the host boundary. Host does the (tiny) tree builds.
+    """
+    from .ops import bitpack, device_hist
+
+    B = len(keys_list)
+    lengths = [k.size for k in keys_list]
+    n_pad = device_hist.bucket(max(lengths))
+    keys = np.full((B, n_pad), device_hist.SENTINEL, dtype=np.uint32)
+    for i, k in enumerate(keys_list):
+        keys[i, : k.size] = k
+
+    keys_dev = None
+    import jax.numpy as jnp
+
+    keys_dev = jnp.asarray(keys)
+    sk, n_uniq_dev = device_hist.sort_keys(keys_dev)
+    n_uniq = np.asarray(n_uniq_dev)
+    u_pad = device_hist.bucket(int(n_uniq.max()), lo=256)
+    uniq_dev, counts_dev = device_hist.segment_stats(sk, u_pad)
+    uniq = np.asarray(uniq_dev)
+    counts = np.asarray(counts_dev)
+
+    trees = []
+    codes = np.zeros((B, u_pad + 1), dtype=np.uint64)
+    lens = np.zeros((B, u_pad + 1), dtype=np.uint32)
+    for i in range(B):
+        u_real = int(n_uniq[i]) - (1 if lengths[i] < n_pad else 0)
+        book = build_codebook(counts[i, :u_real])
+        trees.append(serialize_tree(book, uniq_to_payload(uniq[i, :u_real])))
+        codes[i, :u_real] = book.codes
+        lens[i, :u_real] = book.lens
+
+    payloads = bitpack.pack_bits_batch(keys_dev, uniq, codes, lens)
+    return [t + p for t, p in zip(trees, payloads)]
+
+
 def decode_stream(data, leaf_size: int, n_symbols: int):
     """Full huf::decode_all analog: returns (payloads uint8[u, leaf_size],
     decoded leaf-ids int32[n_symbols])."""

@@ -113,6 +113,45 @@ def pack_bits_device(sym_ids: np.ndarray, codes: np.ndarray, lens: np.ndarray) -
     return _words_to_bytes(np.asarray(words), int(total_bits))
 
 
+@functools.partial(jax.jit, static_argnames=("n_words",))
+def _pack_from_keys(keys, uniq, hi, lo, lens, n_words: int):
+    """Batched pack with on-device symbol resolution.
+
+    keys uint32[B, n_pad] (sentinel-padded), uniq uint32[B, u_pad],
+    hi/lo uint32[B, u_pad+1], lens int32[B, u_pad+1] (zero-length codes on
+    all padding entries). Returns (words uint32[B, n_words], bits int32[B]).
+    """
+
+    def per_image(k, u, h, l, ln):
+        ids = jnp.searchsorted(u, k).astype(jnp.int32)
+        return _pack_device(ids, h, l, ln, n_words)
+
+    return jax.vmap(per_image)(keys, uniq, hi, lo, lens)
+
+
+def pack_bits_batch(keys_dev, uniq: np.ndarray, codes: np.ndarray,
+                    lens: np.ndarray):
+    """Pack B sentinel-padded key streams against per-image codebooks.
+
+    keys_dev: uint32[B, n_pad] (device array ok), uniq uint32[B, u_pad],
+    codes uint64[B, u_pad+1], lens uint32[B, u_pad+1].
+    Returns list of padded byte strings.
+    """
+    B, n_pad = keys_dev.shape
+    hi = (codes >> np.uint64(32)).astype(np.uint32)
+    lo = codes.astype(np.uint32)
+    n_words = 2 * n_pad + 2
+    words, bits = _pack_from_keys(
+        keys_dev, jnp.asarray(uniq), jnp.asarray(hi), jnp.asarray(lo),
+        jnp.asarray(lens.astype(np.int32)), n_words)
+    bits = np.asarray(bits)
+    out = []
+    for i in range(B):
+        nw = (int(bits[i]) + 31) // 32
+        out.append(_words_to_bytes(np.asarray(words[i, :nw]), int(bits[i])))
+    return out
+
+
 def _bucket(n: int) -> int:
     """Round sizes up to limit jit recompilations across image shapes."""
     if n <= 4096:

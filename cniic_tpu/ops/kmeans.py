@@ -41,8 +41,7 @@ log = logging.getLogger(__name__)
 _BLOCK = 8192
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _kmeans_iter(pts_f, pts_i, w, valid, cur, cents_f, k: int):
+def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int):
     """One assign+update step. Shapes: pts [n_pad, d] (f32 / int64),
     w int64[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
     cents_f f32[k, d]."""
@@ -73,6 +72,28 @@ def _kmeans_iter(pts_f, pts_i, w, valid, cur, cents_f, k: int):
     cents_i = sums // denom[:, None]
     empty = wsum == 0
     return new, cents_i, empty, changed
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters"))
+def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, k: int, max_iters: int):
+    """Iterate fully on device until convergence, an empty cluster (host
+    repairs and re-enters), or the iteration cap."""
+
+    def cond(state):
+        it, _, _, changed, empty_any = state
+        return jnp.logical_and(jnp.logical_and(changed, jnp.logical_not(empty_any)),
+                               it < max_iters)
+
+    def body(state):
+        it, cur, cents_i, _, _ = state
+        new, cents_new, empty, changed = _iteration(
+            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k)
+        return it + 1, new, cents_new, changed, jnp.any(empty)
+
+    # do-while: seed with changed=True
+    state = (jnp.int32(0), cur, cents_i, jnp.bool_(True), jnp.bool_(False))
+    it, cur, cents_i, changed, empty_any = jax.lax.while_loop(cond, body, state)
+    return it, cur, cents_i, empty_any
 
 
 def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
@@ -119,28 +140,31 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     w_dev = jnp.asarray(w)
     valid_dev = jnp.asarray(valid)
     cur_dev = jnp.asarray(cur)
+    cents_dev = jnp.asarray(centroids)
 
     rng = np.random.default_rng(seed)
     it = 0
-    while True:
-        cents_f = jnp.asarray(centroids, dtype=jnp.float32)
-        new_dev, cents_i, empty, changed = _kmeans_iter(
-            pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_f, k)
-        it += 1
-        centroids = np.asarray(cents_i)
-        empty = np.asarray(empty)
-        if empty.any():
-            # empty-cluster repair (kmeans.rs:110-137)
-            assign_host = np.asarray(new_dev)[:n]
-            occupied = np.unique(assign_host)
-            for c in np.flatnonzero(empty):
-                victim = rng.choice(occupied)
-                members = np.flatnonzero(assign_host == victim)
-                centroids[c] = points[rng.choice(members)]
-        cur_dev = new_dev
-        if not bool(changed) or it >= max_iters:
+    while it < max_iters:
+        # whole convergence loop on device; returns to host only for the
+        # (rare) empty-cluster repair or at convergence
+        steps, cur_dev, cents_dev, empty_any = _kmeans_loop(
+            pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, k,
+            max_iters - it)
+        it += int(steps)
+        if not bool(empty_any):
             break
+        # empty-cluster repair (kmeans.rs:110-137)
+        centroids = np.array(cents_dev)
+        assign_host = np.asarray(cur_dev)[:n]
+        wsum = np.bincount(assign_host, weights=np.asarray(w)[:n], minlength=k)
+        occupied = np.flatnonzero(wsum > 0)
+        for c in np.flatnonzero(wsum == 0):
+            victim = rng.choice(occupied)
+            members = np.flatnonzero(assign_host == victim)
+            centroids[c] = points[rng.choice(members)]
+        cents_dev = jnp.asarray(centroids)
 
+    centroids = np.array(cents_dev)
     assignment = np.asarray(cur_dev)[:n]
     active = np.unique(assignment).size
     min_required = min(n, int(0.99 * k))

@@ -61,7 +61,7 @@ class BenchResult:
 
 
 def measure_all(codec: Codec, paths, output_dir: str = "output",
-                verbose: bool = True) -> BenchResult:
+                verbose: bool = True, batch: int = 1) -> BenchResult:
     os.makedirs(output_dir, exist_ok=True)
     csv_path = os.path.join(output_dir, f"{codec.name}.csv")
     res = BenchResult()
@@ -69,17 +69,67 @@ def measure_all(codec: Codec, paths, output_dir: str = "output",
     with open(csv_path, "w", newline="") as fh:
         writer = csv.writer(fh)
         writer.writerow(["name", "compressed_size", "compression_ratio", "error"])
-        for p in paths:
-            try:
-                row = _measure_one(codec, p, output_dir, res, verbose)
-            except Exception as e:  # continue with other images (bench.rs:78)
-                res.failures.append((str(p), repr(e)))
-                print(f"error: {p}: {e!r}")
-                continue
-            if row is not None:
-                writer.writerow(row)
-                res.rows.append(row)
+        if batch <= 1:
+            for p in paths:
+                try:
+                    row = _measure_one(codec, p, output_dir, res, verbose)
+                except Exception as e:  # continue with other images (bench.rs:78)
+                    res.failures.append((str(p), repr(e)))
+                    print(f"error: {p}: {e!r}")
+                    continue
+                if row is not None:
+                    writer.writerow(row)
+                    res.rows.append(row)
+        else:
+            paths = list(paths)
+            for i in range(0, len(paths), batch):
+                group = paths[i : i + batch]
+                for row in _measure_batch(codec, group, output_dir, res, verbose):
+                    if row is not None:
+                        writer.writerow(row)
+                        res.rows.append(row)
     return res
+
+
+def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbose: bool):
+    """Batched encode (lane-parallel device paths), per-image verify."""
+    imgs, names = [], []
+    for p in group:
+        try:
+            imgs.append(image_io.load_image(p))
+            names.append(p)
+        except Exception as e:
+            res.failures.append((str(p), repr(e)))
+            print(f"error: {p}: {e!r}")
+
+    if not imgs:
+        return
+    t0 = time.perf_counter()
+    blobs = codec.encode_batch(imgs)
+    enc_s = time.perf_counter() - t0
+    res.encode_s += enc_s
+    res.megapixels += sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+
+    for p, img, data in zip(names, imgs, blobs):
+        try:
+            t1 = time.perf_counter()
+            decoded = codec.decode(data)
+            res.decode_s += time.perf_counter() - t1
+            h, w = img.shape[:2]
+            ratio = len(data) / (w * h * 24)
+            error = compute_error(img, decoded)
+            if error != 0.0:
+                stem = os.path.splitext(os.path.basename(str(p)))[0]
+                image_io.save_png(decoded, os.path.join(output_dir, stem + ".png"))
+                if codec.is_lossless:
+                    raise AssertionError(
+                        f"lossless codec {codec.name} round-trip mismatch (MSE={error})")
+            if verbose:
+                print(f"bench: {p}: {len(data)} B, ratio {ratio * 100:.3f}%, MSE {error:.3f}")
+            yield [str(p), len(data), ratio * 100.0, error]
+        except Exception as e:
+            res.failures.append((str(p), repr(e)))
+            print(f"error: {p}: {e!r}")
 
 
 def _measure_one(codec: Codec, path, output_dir: str, res: BenchResult, verbose: bool):

@@ -146,7 +146,7 @@ def test_hilbert_zip_frames_dims_outside(test_image):
 def test_encode_batch_matches_sequential(rng, test_image):
     imgs = [test_image, test_image[:17, :23].copy(),
             rng.integers(0, 256, (9, 31, 3)).astype(np.uint8)]
-    for spec in ["hilbert(rle(4))", "hufman", "hilbert(rle)"]:
+    for spec in ["hilbert(rle(4))", "hufman", "delta", "hilbert(rle)"]:
         codec = from_spec(spec)
         batch = codec.encode_batch(imgs)
         seq = [codec.encode(im) for im in imgs]
