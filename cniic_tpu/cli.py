@@ -85,12 +85,19 @@ def main(argv=None) -> int:
         return 0
 
     batch = 1
-    if files and files[0].startswith("--batch="):
-        batch = int(files[0][len("--batch="):])
-        files = files[1:]
-    elif command.startswith("--batch="):
-        batch = int(command[len("--batch="):])
-        command, files = files[0], files[1:]
+    resume = False
+    rest = []
+    for a in [command] + files:
+        if a.startswith("--batch="):
+            batch = int(a[len("--batch="):])
+        elif a == "--resume":
+            resume = True
+        else:
+            rest.append(a)
+    if not rest:
+        print(USAGE, file=sys.stderr)
+        return 1
+    command, files = rest[0], rest[1:]
 
     if command.startswith("--codec="):
         try:
@@ -98,7 +105,7 @@ def main(argv=None) -> int:
         except Exception as e:
             print(f"Malformed codec argument\n{e}", file=sys.stderr)
             return 1
-        res = runner.measure_all(codec, files, batch=batch)
+        res = runner.measure_all(codec, files, batch=batch, resume=resume)
         print(f"{codec.name}: {len(res.rows)} images ok, {len(res.failures)} failed; "
               f"mean ratio {res.mean_ratio:.3f}%, mean MSE {res.mean_error:.3f}; "
               f"encode {res.encode_mps:.2f} MP/s")

@@ -123,6 +123,9 @@ def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
     the device; only per-image uniques/counts and final payload bytes cross
     the host boundary. Host does the (tiny) tree builds.
     """
+    import jax.numpy as jnp
+
+    from . import trace
     from .ops import bitpack, device_hist
 
     B = len(keys_list)
@@ -132,28 +135,29 @@ def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
     for i, k in enumerate(keys_list):
         keys[i, : k.size] = k
 
-    keys_dev = None
-    import jax.numpy as jnp
-
-    keys_dev = jnp.asarray(keys)
-    sk, n_uniq_dev = device_hist.sort_keys(keys_dev)
-    n_uniq = np.asarray(n_uniq_dev)
+    with trace.span("huffman.sort"):
+        keys_dev = jnp.asarray(keys)
+        sk, n_uniq_dev = device_hist.sort_keys(keys_dev)
+        n_uniq = np.asarray(n_uniq_dev)
     u_pad = device_hist.bucket(int(n_uniq.max()), lo=256)
-    uniq_dev, counts_dev = device_hist.segment_stats(sk, u_pad)
-    uniq = np.asarray(uniq_dev)
-    counts = np.asarray(counts_dev)
+    with trace.span("huffman.stats"):
+        uniq_dev, counts_dev = device_hist.segment_stats(sk, u_pad)
+        uniq = np.asarray(uniq_dev)
+        counts = np.asarray(counts_dev)
 
     trees = []
     codes = np.zeros((B, u_pad + 1), dtype=np.uint64)
     lens = np.zeros((B, u_pad + 1), dtype=np.uint32)
-    for i in range(B):
-        u_real = int(n_uniq[i]) - (1 if lengths[i] < n_pad else 0)
-        book = build_codebook(counts[i, :u_real])
-        trees.append(serialize_tree(book, uniq_to_payload(uniq[i, :u_real])))
-        codes[i, :u_real] = book.codes
-        lens[i, :u_real] = book.lens
+    with trace.span("huffman.trees"):
+        for i in range(B):
+            u_real = int(n_uniq[i]) - (1 if lengths[i] < n_pad else 0)
+            book = build_codebook(counts[i, :u_real])
+            trees.append(serialize_tree(book, uniq_to_payload(uniq[i, :u_real])))
+            codes[i, :u_real] = book.codes
+            lens[i, :u_real] = book.lens
 
-    payloads = bitpack.pack_bits_batch(keys_dev, uniq, codes, lens)
+    with trace.span("huffman.pack"):
+        payloads = bitpack.pack_bits_batch(keys_dev, uniq, codes, lens)
     return [t + p for t, p in zip(trees, payloads)]
 
 

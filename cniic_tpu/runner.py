@@ -61,14 +61,29 @@ class BenchResult:
 
 
 def measure_all(codec: Codec, paths, output_dir: str = "output",
-                verbose: bool = True, batch: int = 1) -> BenchResult:
+                verbose: bool = True, batch: int = 1,
+                resume: bool = False) -> BenchResult:
+    """Bench every image; with resume=True, images already present in the
+    codec's CSV are skipped and rows are appended (the per-batch analog of
+    the reference Makefile's .bak result caching, SURVEY §5.4)."""
     os.makedirs(output_dir, exist_ok=True)
     csv_path = os.path.join(output_dir, f"{codec.name}.csv")
     res = BenchResult()
 
-    with open(csv_path, "w", newline="") as fh:
+    done = set()
+    if resume and os.path.exists(csv_path):
+        with open(csv_path, newline="") as fh:
+            for row in list(csv.reader(fh))[1:]:
+                if row:
+                    done.add(row[0])
+                    res.rows.append([row[0], int(row[1]), float(row[2]), float(row[3])])
+        paths = [p for p in paths if str(p) not in done]
+
+    mode = "a" if done else "w"
+    with open(csv_path, mode, newline="") as fh:
         writer = csv.writer(fh)
-        writer.writerow(["name", "compressed_size", "compression_ratio", "error"])
+        if not done:
+            writer.writerow(["name", "compressed_size", "compression_ratio", "error"])
         if batch <= 1:
             for p in paths:
                 try:

@@ -1,0 +1,83 @@
+"""Bench harness protocol: CSV schema, round-trip-or-die, resume, tracing."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from cniic_tpu import image_io, runner, trace
+from cniic_tpu.codecs import from_spec
+from cniic_tpu.codecs.base import Codec
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    paths = []
+    for i in range(3):
+        img = rng.integers(0, 256, (12 + i, 20, 3)).astype(np.uint8)
+        p = tmp_path / f"img{i}.png"
+        image_io.save_png(img, p)
+        paths.append(str(p))
+    return paths
+
+
+def test_csv_schema_and_ratio(tmp_path, corpus):
+    codec = from_spec("hufman")
+    res = runner.measure_all(codec, corpus, output_dir=str(tmp_path / "out"), verbose=False)
+    csv_path = tmp_path / "out" / "Hufman.csv"
+    rows = list(csv.reader(open(csv_path)))
+    assert rows[0] == ["name", "compressed_size", "compression_ratio", "error"]
+    assert len(rows) == 4
+    # ratio convention: bytes / (W*H*24) * 100 (bench.rs:41)
+    name, size, ratio, err = rows[1]
+    assert abs(float(ratio) - int(size) / (20 * 12 * 24) * 100) < 1e-9
+    assert float(err) == 0.0
+    assert not res.failures
+
+
+def test_resume_skips_done(tmp_path, corpus):
+    out = str(tmp_path / "out")
+    codec = from_spec("hufman")
+    runner.measure_all(codec, corpus[:2], output_dir=out, verbose=False)
+    res = runner.measure_all(codec, corpus, output_dir=out, verbose=False, resume=True)
+    rows = list(csv.reader(open(os.path.join(out, "Hufman.csv"))))
+    assert len(rows) == 4  # header + 3, no duplicates
+    assert len(res.rows) == 3
+
+
+class _Broken(Codec):
+    """Claims lossless, decodes garbage — must hard-fail per image."""
+
+    def encode(self, img):
+        self._shape = img.shape
+        return b"x"
+
+    def decode(self, data):
+        return np.zeros(self._shape, np.uint8)
+
+    @property
+    def name(self):
+        return "broken"
+
+    @property
+    def is_lossless(self):
+        return True
+
+
+def test_lossless_round_trip_or_die(tmp_path, corpus):
+    res = runner.measure_all(_Broken(), corpus[:1], output_dir=str(tmp_path / "out"), verbose=False)
+    assert len(res.failures) == 1
+    assert len(res.rows) == 0
+    # the mismatching decode is saved for inspection (bench.rs:50-55)
+    assert os.path.exists(tmp_path / "out" / "img0.png")
+
+
+def test_trace_spans():
+    trace.reset()
+    with trace.span("outer"):
+        with trace.span("inner"):
+            pass
+    rep = trace.report()
+    assert rep["outer"][0] == 1
+    assert rep["outer.inner"][0] == 1
