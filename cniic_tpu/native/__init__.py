@@ -65,6 +65,11 @@ def _load() -> ctypes.CDLL:
         lib.approx_rle_encode.argtypes = [u8p, i64, ctypes.c_double, u8p, u8p]
         lib.approx_rle_encode.restype = i64
 
+        lib.hist_u32.argtypes = [ctypes.POINTER(ctypes.c_uint32), i64,
+                                 ctypes.POINTER(ctypes.c_uint32),
+                                 ctypes.POINTER(i64), i32p]
+        lib.hist_u32.restype = i64
+
         u64p = ctypes.POINTER(ctypes.c_uint64)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i64p = ctypes.POINTER(i64)
@@ -146,6 +151,23 @@ def zip_back_encode(data) -> bytes:
 
 def zip_back_decode(data) -> bytes:
     return _roundtrip_call("zip_back_decode", data)
+
+
+def hist_u32(keys: np.ndarray):
+    """(uniq asc, counts i64, inverse i32) for a uint32 key stream."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n = keys.size
+    uniq = np.empty(n, dtype=np.uint32)
+    counts = np.empty(n, dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u = lib.hist_u32(keys.ctypes.data_as(u32p), n, uniq.ctypes.data_as(u32p),
+                     counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                     _as_i32p(inverse))
+    if u < 0:
+        raise MemoryError("hist_u32 failed")
+    return uniq[:u].copy(), counts[:u].copy(), inverse
 
 
 def huf_lengths(freqs_sorted_asc: np.ndarray) -> np.ndarray:

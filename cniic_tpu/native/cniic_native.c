@@ -701,6 +701,59 @@ EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
 }
 
 /* ------------------------------------------------------------------ */
+/* u32 key histogram: LSD radix sort + boundary pass                   */
+/* ------------------------------------------------------------------ */
+
+/* Unique values, counts and per-element inverse ids for a u32 key stream
+ * (the count_freqs analog, reference utils.rs:4-16). Four 8-bit radix
+ * passes over (key, index) pairs packed in u64, then one boundary pass.
+ *
+ * keys: n values. Outputs (caller-allocated, size n): uniq (ascending),
+ * counts, inverse. Returns the number of unique values, or -1 on OOM.
+ */
+EXPORT int64_t hist_u32(const uint32_t *keys, int64_t n,
+                        uint32_t *uniq, int64_t *counts, int32_t *inverse) {
+    if (n <= 0) return 0;
+    uint64_t *a = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+    uint64_t *b = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+    int64_t *hist = (int64_t *)malloc(256 * sizeof(int64_t));
+    if (!a || !b || !hist) { free(a); free(b); free(hist); return -1; }
+
+    uint32_t all_or = 0;
+    for (int64_t i = 0; i < n; i++) {
+        a[i] = ((uint64_t)keys[i] << 32) | (uint64_t)(uint32_t)i;
+        all_or |= keys[i];
+    }
+    int passes = all_or > 0xFFFFFF ? 4 : (all_or > 0xFFFF ? 3 : (all_or > 0xFF ? 2 : 1));
+
+    for (int p = 0; p < passes; p++) {
+        int shift = 32 + 8 * p;
+        memset(hist, 0, 256 * sizeof(int64_t));
+        for (int64_t i = 0; i < n; i++) hist[(a[i] >> shift) & 0xFF]++;
+        int64_t sum = 0;
+        for (int j = 0; j < 256; j++) { int64_t c = hist[j]; hist[j] = sum; sum += c; }
+        for (int64_t i = 0; i < n; i++) b[hist[(a[i] >> shift) & 0xFF]++] = a[i];
+        uint64_t *t = a; a = b; b = t;
+    }
+
+    int64_t u = 0;
+    uint32_t prev = ~(uint32_t)(a[0] >> 32); /* anything != first key */
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t k = (uint32_t)(a[i] >> 32);
+        if (k != prev) {
+            uniq[u] = k;
+            counts[u] = 0;
+            u++;
+            prev = k;
+        }
+        counts[u - 1]++;
+        inverse[(uint32_t)a[i]] = (int32_t)(u - 1);
+    }
+    free(a); free(b); free(hist);
+    return u;
+}
+
+/* ------------------------------------------------------------------ */
 /* Huffman: build, canonical codes, preorder tree (reference huf.rs)   */
 /* ------------------------------------------------------------------ */
 

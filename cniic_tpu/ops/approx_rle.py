@@ -4,15 +4,15 @@ The running-average acceptance recurrence (reference hilbertc.rs:200-285) is
 non-associative and strictly sequential *within* a stream, but independent
 *across* streams. TPU formulation:
 
-* B streams become lanes of an (L, 8, 128) array (1024 lanes = one full VPU
-  tile per step);
+* up to 8 streams ride the sublane dimension of an (8, L) int32 array
+  (packed 0x00RRGGBB), so the host→device transfer carries only real data;
 * the grid walks length-blocks sequentially; run state (channel sums, count,
   pending emission) lives in VMEM scratch and carries across grid steps —
   the standard chunk+carry pattern;
 * every loop step performs one dense write: the record of any run that
   ended at the *previous* position (a reject ends the run at i-1; a cap or
   stream-end at i-1 is carried as a pending record and written at i). The
-  two cases are mutually exclusive, so each output row is written exactly
+  two cases are mutually exclusive, so each output column is written exactly
   once. One trailing block flushes the final runs.
 
 Output: packed int32 per position, ``1<<24 | r<<16 | g<<8 | b`` where a run
@@ -20,10 +20,12 @@ ended at the previous position, else 0. Host compaction recovers the
 (count, color) records; counts never exceed 255 because the cap emits
 in-kernel.
 
-Numerics: channel sums are integers <= 255*255, exact in f32; only the
-divide and distance compare round differently from the reference's f64
-(decision flips only within ~1e-4 of the allowance — frontier-level no-op;
-the native C engine keeps the exact-f64 single-stream path).
+Numerics: the acceptance test is evaluated in the count²-scaled form
+``sum_c (s_c - cnt·x_c)² <= (allow·cnt)²`` whose terms are exact integers in
+f32 (≤ 255·255), so decisions match the reference's f64 average-form at
+exact-tie boundaries; divergence is possible only within ~1e-4·allow of the
+boundary (the native C engine keeps the exact-f64 single-stream path and is
+the conformance oracle).
 """
 
 from __future__ import annotations
@@ -36,8 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 1024
-BLOCK = 512
+LANES = 8          # streams per kernel call (sublane dimension)
+BLOCK = 2048       # positions per grid step (last-dim tile, 128-multiple)
 RUN_CAP = 255.0
 
 
@@ -52,12 +54,12 @@ def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend):
         cnt[...] = jnp.zeros_like(cnt)
         pend[...] = jnp.zeros_like(pend)
 
-    allow2 = allow_ref[0] * allow_ref[0]
-    lengths = len_ref[...].astype(jnp.float32)  # (8, 128)
+    allow = allow_ref[0]
+    lengths = len_ref[...].astype(jnp.float32)  # (8, 1)
     base = (gi * BLOCK).astype(jnp.float32)
 
     def step(i, _):
-        packed = rgb_ref[i]  # (8, 128) int32
+        packed = rgb_ref[:, pl.ds(i, 1)]  # (8, 1) int32
         r = ((packed >> 16) & 0xFF).astype(jnp.float32)
         g = ((packed >> 8) & 0xFF).astype(jnp.float32)
         b = (packed & 0xFF).astype(jnp.float32)
@@ -66,31 +68,28 @@ def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend):
 
         c = cnt[...]
         fresh = c == 0.0
-        # acceptance test scaled by count^2: sum_i (s_i - c*x_i)^2 <= (d*c)^2
-        # — every term is an exact-in-f32 integer (<= 255*255), so the
-        # decision matches the reference's f64 avg-form at exact-tie
-        # boundaries instead of flipping on 1/c rounding
+        # count^2-scaled acceptance: exact-integer f32 terms
         t0 = s0[...] - c * r
         t1 = s1[...] - c * g
         t2 = s2[...] - c * b
         dist2 = t0 * t0 + t1 * t1 + t2 * t2
-        accept = jnp.logical_and(jnp.logical_not(fresh), dist2 <= allow2 * c * c)
-        inv = 1.0 / jnp.maximum(c, 1.0)
-        a0 = s0[...] * inv
-        a1 = s1[...] * inv
-        a2 = s2[...] * inv
+        ac = allow * c
+        accept = jnp.logical_and(jnp.logical_not(fresh), dist2 <= ac * ac)
         reject = jnp.logical_and(jnp.logical_and(active, jnp.logical_not(fresh)),
                                  jnp.logical_not(accept))
 
-        # record of a run ending at pos-1: either the carried pending record
-        # (cap/stream-end decided last step) or a reject of the open run
+        inv = 1.0 / jnp.maximum(c, 1.0)
+
         def pack_rgb(x0, x1, x2):
-            return ((x0 + 0.5).astype(jnp.int32) << 16) | ((x1 + 0.5).astype(jnp.int32) << 8) | (x2 + 0.5).astype(jnp.int32)
+            return (
+                ((x0 + 0.5).astype(jnp.int32) << 16)
+                | ((x1 + 0.5).astype(jnp.int32) << 8)
+                | (x2 + 0.5).astype(jnp.int32)
+            )
 
-        reject_rec = (jnp.int32(1) << 24) | pack_rgb(a0, a1, a2)
-        out_ref[i] = jnp.where(reject, reject_rec, pend[...])
+        reject_rec = (jnp.int32(1) << 24) | pack_rgb(s0[...] * inv, s1[...] * inv, s2[...] * inv)
+        out_ref[:, pl.ds(i, 1)] = jnp.where(reject, reject_rec, pend[...])
 
-        # advance the run
         ns0 = jnp.where(accept, s0[...] + r, r)
         ns1 = jnp.where(accept, s1[...] + g, g)
         ns2 = jnp.where(accept, s2[...] + b, b)
@@ -120,50 +119,48 @@ def _run(allow, lens, rgb, n_blocks: int, interpret: bool = False):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, 8, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32) for _ in range(4)]
-        + [pltpu.VMEM((8, 128), jnp.int32)],
+        out_specs=pl.BlockSpec((LANES, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((LANES, n_blocks * BLOCK), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LANES, 1), jnp.float32) for _ in range(4)]
+        + [pltpu.VMEM((LANES, 1), jnp.int32)],
         interpret=interpret,
     )(allow, lens, rgb)
 
 
 def approx_rle_batch(scans, lengths, allow: float, interpret: bool | None = None):
-    """Encode up to LANES streams in one kernel sweep.
+    """Encode a batch of streams, 8 lanes per kernel sweep.
 
     scans: (B, L, 3) uint8 (zero-padded); lengths: (B,). Returns a list of
     (counts uint8[R], colors uint8[R, 3]) per stream, identical to the
     reference recurrence up to f32-vs-f64 boundary rounding.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # compiled on real hardware (the tunneled TPU platform is "axon");
+        # interpreter only on the CPU test backend
+        interpret = jax.default_backend() == "cpu"
     scans = np.ascontiguousarray(scans, dtype=np.uint8)
     B, L, _ = scans.shape
+    n_blocks = (L + 1 + BLOCK - 1) // BLOCK
+    lp = n_blocks * BLOCK
     out = []
     for start in range(0, B, LANES):
-        chunk = scans[start : start + LANES]
+        chunk = scans[start : start + LANES].astype(np.int32)
         ln = np.asarray(lengths[start : start + LANES], dtype=np.int32)
         nb = chunk.shape[0]
-        # +1 position for the final flush, rounded up to whole blocks
-        n_blocks = (L + 1 + BLOCK - 1) // BLOCK
-        lp = n_blocks * BLOCK
-        packed = np.zeros((lp, LANES), np.int32)
-        c = chunk.astype(np.int32)
-        packed[:L, :nb] = ((c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]).T
-        lens = np.zeros((8, 128), np.int32)
-        lens.reshape(-1)[:nb] = ln
+        packed = np.zeros((LANES, lp), np.int32)
+        packed[:nb, :L] = (chunk[..., 0] << 16) | (chunk[..., 1] << 8) | chunk[..., 2]
+        lens = np.zeros((LANES, 1), np.int32)
+        lens[:nb, 0] = ln
         allow_arr = np.asarray([allow], np.float32)
 
-        recs = _run(jnp.asarray(allow_arr), jnp.asarray(lens),
-                    jnp.asarray(packed.reshape(lp, 8, 128)), n_blocks,
-                    interpret=interpret)
-        recs = np.asarray(recs).reshape(lp, LANES)
+        recs = np.asarray(_run(jnp.asarray(allow_arr), jnp.asarray(lens),
+                               jnp.asarray(packed), n_blocks, interpret=interpret))
         for j in range(nb):
             n_j = int(ln[j])
-            col = recs[: n_j + 1, j]
+            col = recs[j, : n_j + 1]
             ends = np.flatnonzero(col >> 24)  # record at p => run ended at p-1
             counts = np.diff(np.concatenate([[0], ends])).astype(np.uint8)
             vals = col[ends]

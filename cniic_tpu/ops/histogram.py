@@ -33,27 +33,19 @@ def color_histogram(pixels: np.ndarray):
     Returns (colors uint8[u, 3], counts int64[u], inverse int32[N]) with
     ``colors[inverse] == pixels``. Unique order: ascending packed key.
 
-    Implementation: radix (stable) argsort + boundary pass — several times
-    faster than np.unique's comparison sort + inverse reconstruction on this
-    class of host.
+    Implementation: native LSD radix sort + boundary pass (cniic_native.c
+    hist_u32) — an order of magnitude faster than numpy's stable argsort on
+    this class of host.
     """
     uniq, counts, inverse = key_histogram(pack_colors(pixels))
     return unpack_colors(uniq.astype(np.uint32)), counts, inverse
 
 
 def key_histogram(keys: np.ndarray):
-    """(uniq keys asc, counts, inverse int32) for integer keys."""
+    """(uniq keys asc, counts, inverse int32) for uint32 keys."""
+    from .. import native
+
     n = keys.size
     if n == 0:
         return keys[:0], np.zeros(0, np.int64), np.zeros(0, np.int32)
-    order = np.argsort(keys, kind="stable")
-    sk = keys[order]
-    boundary = np.empty(n, dtype=bool)
-    boundary[0] = True
-    np.not_equal(sk[1:], sk[:-1], out=boundary[1:])
-    seg = np.cumsum(boundary, dtype=np.int32) - np.int32(1)
-    uniq = sk[boundary]
-    counts = np.bincount(seg, minlength=uniq.size).astype(np.int64)
-    inverse = np.empty(n, dtype=np.int32)
-    inverse[order] = seg
-    return uniq, counts, inverse
+    return native.hist_u32(keys)

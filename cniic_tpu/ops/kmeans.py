@@ -147,9 +147,10 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     while it < max_iters:
         # whole convergence loop on device; returns to host only for the
         # (rare) empty-cluster repair or at convergence
+        # max_iters stays static across repair re-entries to avoid recompiles
         steps, cur_dev, cents_dev, empty_any = _kmeans_loop(
             pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, k,
-            max_iters - it)
+            max_iters)
         it += int(steps)
         if not bool(empty_any):
             break
