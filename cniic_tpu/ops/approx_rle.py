@@ -58,16 +58,26 @@ def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend):
     lengths = len_ref[...].astype(jnp.float32)  # (8, 1)
     base = (gi * BLOCK).astype(jnp.float32)
 
-    def step(i, _):
+    # explicitly-typed constants: under jax_enable_x64 python literals trace
+    # as 64-bit weak types whose conversions Mosaic cannot lower
+    F0 = jnp.float32(0.0)
+    F1 = jnp.float32(1.0)
+    FH = jnp.float32(0.5)
+    FCAP = jnp.float32(RUN_CAP)
+    I0 = jnp.int32(0)
+    IFLAG = jnp.int32(1 << 24)
+    M8 = jnp.int32(0xFF)
+
+    def step(i, carry):
         packed = rgb_ref[:, pl.ds(i, 1)]  # (8, 1) int32
-        r = ((packed >> 16) & 0xFF).astype(jnp.float32)
-        g = ((packed >> 8) & 0xFF).astype(jnp.float32)
-        b = (packed & 0xFF).astype(jnp.float32)
-        pos = base + jnp.float32(i)
+        r = ((packed >> 16) & M8).astype(jnp.float32)
+        g = ((packed >> 8) & M8).astype(jnp.float32)
+        b = (packed & M8).astype(jnp.float32)
+        pos = base + i.astype(jnp.float32)
         active = pos < lengths
 
         c = cnt[...]
-        fresh = c == 0.0
+        fresh = c == F0
         # count^2-scaled acceptance: exact-integer f32 terms
         t0 = s0[...] - c * r
         t1 = s1[...] - c * g
@@ -78,38 +88,43 @@ def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend):
         reject = jnp.logical_and(jnp.logical_and(active, jnp.logical_not(fresh)),
                                  jnp.logical_not(accept))
 
-        inv = 1.0 / jnp.maximum(c, 1.0)
+        inv = F1 / jnp.maximum(c, F1)
 
         def pack_rgb(x0, x1, x2):
             return (
-                ((x0 + 0.5).astype(jnp.int32) << 16)
-                | ((x1 + 0.5).astype(jnp.int32) << 8)
-                | (x2 + 0.5).astype(jnp.int32)
+                ((x0 + FH).astype(jnp.int32) << 16)
+                | ((x1 + FH).astype(jnp.int32) << 8)
+                | (x2 + FH).astype(jnp.int32)
             )
 
-        reject_rec = (jnp.int32(1) << 24) | pack_rgb(s0[...] * inv, s1[...] * inv, s2[...] * inv)
+        reject_rec = IFLAG | pack_rgb(s0[...] * inv, s1[...] * inv, s2[...] * inv)
         out_ref[:, pl.ds(i, 1)] = jnp.where(reject, reject_rec, pend[...])
 
         ns0 = jnp.where(accept, s0[...] + r, r)
         ns1 = jnp.where(accept, s1[...] + g, g)
         ns2 = jnp.where(accept, s2[...] + b, b)
-        ncnt = jnp.where(accept, c + 1.0, 1.0)
+        ncnt = jnp.where(accept, c + F1, F1)
 
-        capped = ncnt >= RUN_CAP
-        last = jnp.logical_and(active, pos >= lengths - 1.0)
+        capped = ncnt >= FCAP
+        last = jnp.logical_and(active, pos >= lengths - F1)
         close = jnp.logical_and(active, jnp.logical_or(capped, last))
-        inv_n = 1.0 / jnp.maximum(ncnt, 1.0)
-        close_rec = (jnp.int32(1) << 24) | pack_rgb(ns0 * inv_n, ns1 * inv_n, ns2 * inv_n)
-        pend[...] = jnp.where(close, close_rec, 0)
+        inv_n = F1 / jnp.maximum(ncnt, F1)
+        close_rec = IFLAG | pack_rgb(ns0 * inv_n, ns1 * inv_n, ns2 * inv_n)
+        pend[...] = jnp.where(close, close_rec, I0)
 
         keep = jnp.logical_and(active, jnp.logical_not(close))
-        s0[...] = jnp.where(keep, ns0, 0.0)
-        s1[...] = jnp.where(keep, ns1, 0.0)
-        s2[...] = jnp.where(keep, ns2, 0.0)
-        cnt[...] = jnp.where(keep, ncnt, 0.0)
-        return 0
+        s0[...] = jnp.where(keep, ns0, F0)
+        s1[...] = jnp.where(keep, ns1, F0)
+        s2[...] = jnp.where(keep, ns2, F0)
+        cnt[...] = jnp.where(keep, ncnt, F0)
+        return carry
 
-    jax.lax.fori_loop(0, BLOCK, step, 0)
+    # int32 bounds/carry: under jax_enable_x64 python ints become i64, and
+    # Mosaic has no i64 lowering inside the kernel
+    def step32(i, carry):
+        return step(i, carry)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(BLOCK), step32, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
