@@ -43,7 +43,7 @@ BLOCK = 2048       # positions per grid step (last-dim tile, 128-multiple)
 RUN_CAP = 255.0
 
 
-def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend):
+def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend, otile):
     gi = pl.program_id(0)
 
     @pl.when(gi == 0)
@@ -67,64 +67,74 @@ def _kernel(allow_ref, len_ref, rgb_ref, out_ref, s0, s1, s2, cnt, pend):
     I0 = jnp.int32(0)
     IFLAG = jnp.int32(1 << 24)
     M8 = jnp.int32(0xFF)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LANES, 128), 1)
 
-    def step(i, carry):
-        packed = rgb_ref[:, pl.ds(i, 1)]  # (8, 1) int32
-        r = ((packed >> 16) & M8).astype(jnp.float32)
-        g = ((packed >> 8) & M8).astype(jnp.float32)
-        b = (packed & M8).astype(jnp.float32)
-        pos = base + i.astype(jnp.float32)
-        active = pos < lengths
+    # Mosaic only allows lane-dim slices at 128-multiples, so the loop walks
+    # (8, 128) tiles; columns are extracted with masked lane reductions and
+    # the output tile accumulates in scratch before one aligned store.
+    def tile_step(t, carry):
+        toff = t * jnp.int32(128)
+        tile = rgb_ref[:, pl.ds(pl.multiple_of(toff, 128), 128)]  # (8,128) i32
 
-        c = cnt[...]
-        fresh = c == F0
-        # count^2-scaled acceptance: exact-integer f32 terms
-        t0 = s0[...] - c * r
-        t1 = s1[...] - c * g
-        t2 = s2[...] - c * b
-        dist2 = t0 * t0 + t1 * t1 + t2 * t2
-        ac = allow * c
-        accept = jnp.logical_and(jnp.logical_not(fresh), dist2 <= ac * ac)
-        reject = jnp.logical_and(jnp.logical_and(active, jnp.logical_not(fresh)),
-                                 jnp.logical_not(accept))
+        def col_step(j, carry2):
+            sel = lane_ids == j
+            packed = jnp.sum(jnp.where(sel, tile, I0), axis=1, keepdims=True,
+                             dtype=jnp.int32)  # (8,1)
+            r = ((packed >> 16) & M8).astype(jnp.float32)
+            g = ((packed >> 8) & M8).astype(jnp.float32)
+            b = (packed & M8).astype(jnp.float32)
+            pos = base + (toff + j).astype(jnp.float32)
+            active = pos < lengths
 
-        inv = F1 / jnp.maximum(c, F1)
+            c = cnt[...]
+            fresh = c == F0
+            # count^2-scaled acceptance: exact-integer f32 terms
+            t0 = s0[...] - c * r
+            t1 = s1[...] - c * g
+            t2 = s2[...] - c * b
+            dist2 = t0 * t0 + t1 * t1 + t2 * t2
+            ac = allow * c
+            accept = jnp.logical_and(jnp.logical_not(fresh), dist2 <= ac * ac)
+            reject = jnp.logical_and(jnp.logical_and(active, jnp.logical_not(fresh)),
+                                     jnp.logical_not(accept))
 
-        def pack_rgb(x0, x1, x2):
-            return (
-                ((x0 + FH).astype(jnp.int32) << 16)
-                | ((x1 + FH).astype(jnp.int32) << 8)
-                | (x2 + FH).astype(jnp.int32)
-            )
+            inv = F1 / jnp.maximum(c, F1)
 
-        reject_rec = IFLAG | pack_rgb(s0[...] * inv, s1[...] * inv, s2[...] * inv)
-        out_ref[:, pl.ds(i, 1)] = jnp.where(reject, reject_rec, pend[...])
+            def pack_rgb(x0, x1, x2):
+                return (
+                    ((x0 + FH).astype(jnp.int32) << 16)
+                    | ((x1 + FH).astype(jnp.int32) << 8)
+                    | (x2 + FH).astype(jnp.int32)
+                )
 
-        ns0 = jnp.where(accept, s0[...] + r, r)
-        ns1 = jnp.where(accept, s1[...] + g, g)
-        ns2 = jnp.where(accept, s2[...] + b, b)
-        ncnt = jnp.where(accept, c + F1, F1)
+            reject_rec = IFLAG | pack_rgb(s0[...] * inv, s1[...] * inv, s2[...] * inv)
+            rec = jnp.where(reject, reject_rec, pend[...])  # (8,1)
+            otile[...] = jnp.where(sel, rec, otile[...])
 
-        capped = ncnt >= FCAP
-        last = jnp.logical_and(active, pos >= lengths - F1)
-        close = jnp.logical_and(active, jnp.logical_or(capped, last))
-        inv_n = F1 / jnp.maximum(ncnt, F1)
-        close_rec = IFLAG | pack_rgb(ns0 * inv_n, ns1 * inv_n, ns2 * inv_n)
-        pend[...] = jnp.where(close, close_rec, I0)
+            ns0 = jnp.where(accept, s0[...] + r, r)
+            ns1 = jnp.where(accept, s1[...] + g, g)
+            ns2 = jnp.where(accept, s2[...] + b, b)
+            ncnt = jnp.where(accept, c + F1, F1)
 
-        keep = jnp.logical_and(active, jnp.logical_not(close))
-        s0[...] = jnp.where(keep, ns0, F0)
-        s1[...] = jnp.where(keep, ns1, F0)
-        s2[...] = jnp.where(keep, ns2, F0)
-        cnt[...] = jnp.where(keep, ncnt, F0)
+            capped = ncnt >= FCAP
+            last = jnp.logical_and(active, pos >= lengths - F1)
+            close = jnp.logical_and(active, jnp.logical_or(capped, last))
+            inv_n = F1 / jnp.maximum(ncnt, F1)
+            close_rec = IFLAG | pack_rgb(ns0 * inv_n, ns1 * inv_n, ns2 * inv_n)
+            pend[...] = jnp.where(close, close_rec, I0)
+
+            keep = jnp.logical_and(active, jnp.logical_not(close))
+            s0[...] = jnp.where(keep, ns0, F0)
+            s1[...] = jnp.where(keep, ns1, F0)
+            s2[...] = jnp.where(keep, ns2, F0)
+            cnt[...] = jnp.where(keep, ncnt, F0)
+            return carry2
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(128), col_step, jnp.int32(0))
+        out_ref[:, pl.ds(pl.multiple_of(toff, 128), 128)] = otile[...]
         return carry
 
-    # int32 bounds/carry: under jax_enable_x64 python ints become i64, and
-    # Mosaic has no i64 lowering inside the kernel
-    def step32(i, carry):
-        return step(i, carry)
-
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(BLOCK), step32, jnp.int32(0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(BLOCK // 128), tile_step, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
@@ -140,7 +150,7 @@ def _run(allow, lens, rgb, n_blocks: int, interpret: bool = False):
         out_specs=pl.BlockSpec((LANES, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((LANES, n_blocks * BLOCK), jnp.int32),
         scratch_shapes=[pltpu.VMEM((LANES, 1), jnp.float32) for _ in range(4)]
-        + [pltpu.VMEM((LANES, 1), jnp.int32)],
+        + [pltpu.VMEM((LANES, 1), jnp.int32), pltpu.VMEM((LANES, 128), jnp.int32)],
         interpret=interpret,
     )(allow, lens, rgb)
 
