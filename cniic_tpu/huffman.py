@@ -123,41 +123,40 @@ def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
     the device; only per-image uniques/counts and final payload bytes cross
     the host boundary. Host does the (tiny) tree builds.
     """
-    import jax.numpy as jnp
-
-    from . import trace
-    from .ops import bitpack, device_hist
+    from . import native, trace
+    from .ops import bitpack
+    from .ops.bitpack import _bucket
 
     B = len(keys_list)
     lengths = [k.size for k in keys_list]
-    n_pad = device_hist.bucket(max(lengths))
-    keys = np.full((B, n_pad), device_hist.SENTINEL, dtype=np.uint32)
-    for i, k in enumerate(keys_list):
-        keys[i, : k.size] = k
+    n_pad = _bucket(max(lengths))
 
-    with trace.span("huffman.sort"):
-        keys_dev = jnp.asarray(keys)
-        sk, n_uniq_dev = device_hist.sort_keys(keys_dev)
-        n_uniq = np.asarray(n_uniq_dev)
-    u_pad = device_hist.bucket(int(n_uniq.max()), lo=256)
+    # per-stream stats on host (native LSD radix, ~an order of magnitude
+    # faster than any sort this host's numpy can do), packing batched on
+    # device; the id array is the only full-resolution transfer
+    stats = []
     with trace.span("huffman.stats"):
-        uniq_dev, counts_dev = device_hist.segment_stats(sk, u_pad)
-        uniq = np.asarray(uniq_dev)
-        counts = np.asarray(counts_dev)
+        for k in keys_list:
+            stats.append(native.hist_u32(k))
+    u_pad = _bucket(max(s[0].size for s in stats), ) if stats else 256
+    u_pad = max(u_pad, 256) + 1  # +1: zero-length padding entry per image
 
     trees = []
-    codes = np.zeros((B, u_pad + 1), dtype=np.uint64)
-    lens = np.zeros((B, u_pad + 1), dtype=np.uint32)
+    ids = np.zeros((B, n_pad), dtype=np.int32)
+    codes = np.zeros((B, u_pad), dtype=np.uint64)
+    lens = np.zeros((B, u_pad), dtype=np.uint32)
     with trace.span("huffman.trees"):
-        for i in range(B):
-            u_real = int(n_uniq[i]) - (1 if lengths[i] < n_pad else 0)
-            book = build_codebook(counts[i, :u_real])
-            trees.append(serialize_tree(book, uniq_to_payload(uniq[i, :u_real])))
-            codes[i, :u_real] = book.codes
-            lens[i, :u_real] = book.lens
+        for i, (uniq, counts, inverse) in enumerate(stats):
+            u = uniq.size
+            book = build_codebook(counts)
+            trees.append(serialize_tree(book, uniq_to_payload(uniq)))
+            codes[i, :u] = book.codes
+            lens[i, :u] = book.lens
+            ids[i, : inverse.size] = inverse
+            ids[i, inverse.size :] = u  # padding -> zero-length code
 
     with trace.span("huffman.pack"):
-        payloads = bitpack.pack_bits_batch(keys_dev, uniq, codes, lens)
+        payloads = bitpack.pack_bits_batch(ids, codes, lens)
     return [t + p for t, p in zip(trees, payloads)]
 
 

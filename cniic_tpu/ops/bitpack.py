@@ -34,8 +34,7 @@ def pack_bits_numpy(codes: np.ndarray, lens: np.ndarray) -> bytes:
     return np.packbits(bits).tobytes()
 
 
-@functools.partial(jax.jit, static_argnames=("n_words",))
-def _pack_device(sym_ids, hi, lo, lens, n_words: int):
+def _pack_core(sym_ids, hi, lo, lens, n_words: int):
     """Core jitted packer.
 
     sym_ids: int32[n] (padded entries must map to a zero-length code)
@@ -113,40 +112,28 @@ def pack_bits_device(sym_ids: np.ndarray, codes: np.ndarray, lens: np.ndarray) -
     return _words_to_bytes(np.asarray(words), int(total_bits))
 
 
-@functools.partial(jax.jit, static_argnames=("n_words",))
-def _pack_from_keys(keys, uniq, hi, lo, lens, n_words: int):
-    """Batched pack with on-device symbol resolution.
+_pack_device = functools.partial(jax.jit, static_argnames=("n_words",))(_pack_core)
 
-    keys uint32[B, n_pad] (sentinel-padded), uniq uint32[B, u_pad],
-    hi/lo uint32[B, u_pad+1], lens int32[B, u_pad+1] (zero-length codes on
-    all padding entries). Returns (words uint32[B, n_words], bits int32[B]).
+_pack_ids_batch = functools.partial(jax.jit, static_argnames=("n_words",))(
+    jax.vmap(_pack_core, in_axes=(0, 0, 0, 0, None)))
+
+
+def pack_bits_batch(ids: np.ndarray, codes: np.ndarray, lens: np.ndarray):
+    """Pack B id streams against per-image codebooks in one device call.
+
+    ids int32[B, n_pad] (padding entries must index a zero-length code),
+    codes uint64[B, u_pad], lens uint32[B, u_pad].
+    Returns the list of padded byte strings.
     """
-
-    def per_image(k, u, h, l, ln):
-        ids = jnp.searchsorted(u, k).astype(jnp.int32)
-        return _pack_device(ids, h, l, ln, n_words)
-
-    return jax.vmap(per_image)(keys, uniq, hi, lo, lens)
-
-
-def pack_bits_batch(keys_dev, uniq: np.ndarray, codes: np.ndarray,
-                    lens: np.ndarray):
-    """Pack B sentinel-padded key streams against per-image codebooks.
-
-    keys_dev: uint32[B, n_pad] (device array ok), uniq uint32[B, u_pad],
-    codes uint64[B, u_pad+1], lens uint32[B, u_pad+1].
-    Returns list of padded byte strings.
-    """
-    B, n_pad = keys_dev.shape
     hi = (codes >> np.uint64(32)).astype(np.uint32)
     lo = codes.astype(np.uint32)
-    n_words = 2 * n_pad + 2
-    words, bits = _pack_from_keys(
-        keys_dev, jnp.asarray(uniq), jnp.asarray(hi), jnp.asarray(lo),
+    n_words = 2 * ids.shape[1] + 2
+    words, bits = _pack_ids_batch(
+        jnp.asarray(ids), jnp.asarray(hi), jnp.asarray(lo),
         jnp.asarray(lens.astype(np.int32)), n_words)
     bits = np.asarray(bits)
     out = []
-    for i in range(B):
+    for i in range(ids.shape[0]):
         nw = (int(bits[i]) + 31) // 32
         out.append(_words_to_bytes(np.asarray(words[i, :nw]), int(bits[i])))
     return out

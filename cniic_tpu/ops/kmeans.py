@@ -66,10 +66,25 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int):
     new = jnp.where(valid, new, 0)
     changed = jnp.any(new != cur)
 
+    # Exact integer-truncated weighted means WITHOUT int64 (large 64-bit
+    # segment ops are emulated and have crashed the TPU worker): the
+    # weighted values (<= 255 * n_pixels < 2^31) are split into four 8-bit
+    # digit planes, each segment-summed in int32, and the per-centroid
+    # division is a base-256 long division — exact for n <= 2^23 points.
     wsum = jax.ops.segment_sum(w, new, num_segments=k)
-    sums = jax.ops.segment_sum(pts_i * w[:, None], new, num_segments=k)
-    denom = jnp.maximum(wsum, 1)
-    cents_i = sums // denom[:, None]
+    prod = pts_i * w[:, None]  # int32, bounded by the caller
+    planes = []
+    for s in (24, 16, 8, 0):
+        planes.append(jax.ops.segment_sum((prod >> s) & 0xFF, new, num_segments=k))
+    denom = jnp.maximum(wsum, 1)[:, None]
+    rem = jnp.zeros_like(planes[0])
+    out = jnp.zeros_like(planes[0])
+    for p in planes:
+        cur_v = rem * 256 + p
+        q = cur_v // denom
+        rem = cur_v - q * denom
+        out = out * 256 + q
+    cents_i = out
     empty = wsum == 0
     return new, cents_i, empty, changed
 
@@ -119,17 +134,21 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     if k > 1:
         j = np.arange(tail_start, n)
         assignment[tail_start:] = (n - 1 - j) // ppc
-    centroids = np.empty((k, d), dtype=np.int64)
+    centroids = np.empty((k, d), dtype=np.int32)
     for i in range(k - 1):
         centroids[i] = points[n - (i + 1) * ppc]
     centroids[k - 1] = points[0]
 
     # --- padding to the block size ---
+    if n > 4_000_000:
+        raise ValueError("kmeans int32 digit-plane means support <= 4M points")
     n_pad = -(-n // _BLOCK) * _BLOCK
-    pts_i = np.zeros((n_pad, d), dtype=np.int64)
+    pts_i = np.zeros((n_pad, d), dtype=np.int32)
     pts_i[:n] = points
-    w = np.zeros(n_pad, dtype=np.int64)
+    w = np.zeros(n_pad, dtype=np.int32)
     w[:n] = 1 if weights is None else weights
+    if int(points.max(initial=0)) * int(w.max(initial=1)) >= 2**31:
+        raise ValueError("kmeans weighted values must fit int32")
     valid = np.zeros(n_pad, dtype=bool)
     valid[:n] = True
     cur = np.zeros(n_pad, dtype=np.int32)
@@ -167,6 +186,7 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
 
     centroids = np.array(cents_dev)
     assignment = np.asarray(cur_dev)[:n]
+    centroids = centroids.astype(np.int64)
     active = np.unique(assignment).size
     min_required = min(n, int(0.99 * k))
     if active < min_required:

@@ -48,10 +48,10 @@ def test_kmeans_loop_lowers_for_tpu():
 
     n_pad = km._BLOCK
     pts_f = jnp.asarray(np.zeros((n_pad, 3), np.float32))
-    pts_i = jnp.asarray(np.zeros((n_pad, 3), np.int64))
-    w = jnp.asarray(np.ones(n_pad, np.int64))
+    pts_i = jnp.asarray(np.zeros((n_pad, 3), np.int32))
+    w = jnp.asarray(np.ones(n_pad, np.int32))
     valid = jnp.asarray(np.ones(n_pad, bool))
     cur = jnp.asarray(np.zeros(n_pad, np.int32))
-    cents = jnp.asarray(np.zeros((4, 3), np.int64))
+    cents = jnp.asarray(np.zeros((4, 3), np.int32))
     f = jax.jit(functools.partial(km._kmeans_loop.__wrapped__, k=4, max_iters=10))
     _lower_tpu(f, pts_f, pts_i, w, valid, cur, cents)
