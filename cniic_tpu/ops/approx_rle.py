@@ -143,11 +143,14 @@ def _run(allow, lens, rgb, n_blocks: int, interpret: bool = False):
         _kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((LANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (i * 0,), memory_space=pltpu.SMEM),
+            # index maps derive 0 from the (int32) grid index: literal 0
+            # (including the default index map) traces as an i64 constant
+            # under x64, which the Mosaic legalizer rejects
+            pl.BlockSpec((LANES, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, BLOCK), lambda i: (i * 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LANES, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((LANES, BLOCK), lambda i: (i * 0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((LANES, n_blocks * BLOCK), jnp.int32),
         scratch_shapes=[pltpu.VMEM((LANES, 1), jnp.float32) for _ in range(4)]
         + [pltpu.VMEM((LANES, 1), jnp.int32), pltpu.VMEM((LANES, 128), jnp.int32)],
