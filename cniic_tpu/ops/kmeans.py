@@ -108,7 +108,7 @@ def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, k: int, max_iters: int):
     # do-while: seed with changed=True
     state = (jnp.int32(0), cur, cents_i, jnp.bool_(True), jnp.bool_(False))
     it, cur, cents_i, changed, empty_any = jax.lax.while_loop(cond, body, state)
-    return it, cur, cents_i, empty_any
+    return it, cur, cents_i, changed, empty_any
 
 
 def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
@@ -163,16 +163,21 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
 
     rng = np.random.default_rng(seed)
     it = 0
+    # The convergence loop runs on device in bounded bursts: a single XLA
+    # execution spanning hundreds of iterations over megapixel point sets
+    # trips the runtime watchdog ("TPU worker crashed"), so each call is
+    # capped and the host checks in between. Burst size scales down with
+    # point count to keep per-call runtime in the seconds range.
+    burst = max(2, min(64, (1 << 21) // max(n // 8, 1)))
     while it < max_iters:
-        # whole convergence loop on device; returns to host only for the
-        # (rare) empty-cluster repair or at convergence
-        # max_iters stays static across repair re-entries to avoid recompiles
-        steps, cur_dev, cents_dev, empty_any = _kmeans_loop(
+        steps, cur_dev, cents_dev, changed, empty_any = _kmeans_loop(
             pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, k,
-            max_iters)
+            burst)
         it += int(steps)
         if not bool(empty_any):
-            break
+            if not bool(changed):
+                break
+            continue  # burst cap hit with moves pending
         # empty-cluster repair (kmeans.rs:110-137)
         centroids = np.array(cents_dev)
         assign_host = np.asarray(cur_dev)[:n]
