@@ -82,9 +82,15 @@ class Hilbert(Codec):
         return hilbert.scatter(scan, w, h)
 
     def encode_batch(self, imgs) -> list[bytes]:
-        """Approximate RLE encodes whole batches in one lane-parallel Pallas
-        sweep (ops/approx_rle.py); other modes fall back to the loop."""
-        if self.mode != "rle" or self.allow == 0.0 or len(imgs) < 2:
+        """Approximate RLE can encode whole batches in one lane-parallel
+        Pallas sweep (ops/approx_rle.py). The kernel is opt-in
+        (CNIIC_PALLAS_RLE=1) while the compiled-vs-interpret divergence on
+        real hardware is being chased — the exact native engine is both the
+        conformance oracle and currently the fastest path (~45 MP/s host)."""
+        import os
+
+        if (self.mode != "rle" or self.allow == 0.0 or len(imgs) < 2
+                or os.environ.get("CNIIC_PALLAS_RLE", "") in ("", "0")):
             return [self.encode(img) for img in imgs]
         from ..ops import approx_rle as parle
 
