@@ -115,3 +115,37 @@ def test_huf_decode_walker():
     payload = bytes([0b01011010, 0b11000000])
     out = native.huf_decode(payload, left, right, symbol, 0, 6)
     assert out.tolist() == [0, 1, 2, 0, 1, 2]
+
+
+def test_hist_u32_edge_cases(rng):
+    from cniic_tpu import native
+
+    # all identical
+    u, c, inv = native.hist_u32(np.full(100, 7, np.uint32))
+    assert u.tolist() == [7] and c.tolist() == [100] and (inv == 0).all()
+    # all distinct, descending input
+    keys = np.arange(50, dtype=np.uint32)[::-1].copy()
+    u, c, inv = native.hist_u32(keys)
+    assert np.array_equal(u, np.arange(50)) and (c == 1).all()
+    assert np.array_equal(u[inv], keys)
+    # random parity vs np.unique
+    keys = rng.integers(0, 1000, 10000).astype(np.uint32)
+    u, c, inv = native.hist_u32(keys)
+    u2, inv2, c2 = np.unique(keys, return_inverse=True, return_counts=True)
+    assert np.array_equal(u, u2) and np.array_equal(c, c2) and np.array_equal(inv, inv2)
+    # single element
+    u, c, inv = native.hist_u32(np.array([123456], np.uint32))
+    assert u.tolist() == [123456] and c.tolist() == [1]
+
+
+def test_batch_encode_ragged(rng):
+    """Different stream lengths and alphabets in one batch."""
+    from cniic_tpu import huffman
+
+    keys = [rng.integers(0, 50, n).astype(np.uint32) for n in (17, 5000, 1)]
+    payload_fn = lambda u: np.repeat(u.astype(np.uint8)[:, None], 6, axis=1)
+    streams = huffman.batch_encode(keys, payload_fn)
+    for k, s in zip(keys, streams):
+        payloads, ids = huffman.decode_stream(s, 6, k.size)
+        decoded_keys = payloads[ids][:, 0].astype(np.uint32)
+        assert np.array_equal(decoded_keys, k)
