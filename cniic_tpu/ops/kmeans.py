@@ -42,16 +42,30 @@ _BLOCK = 8192
 
 
 def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int):
-    """One assign+update step. Shapes: pts [n_pad, d] (f32 / int64),
-    w int64[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
-    cents_f f32[k, d]."""
+    """One assign+update step. Shapes: pts [n_pad, d] (f32 / int32),
+    w int32[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
+    cents_f f32[k, d].
+
+    Everything rides the MXU: the assignment is a distance matmul + argmin,
+    and the centroid statistics are one-hot matmuls over 8-bit digit planes
+    of the weighted values — per-block f32 sums stay exact (<= 255*block),
+    cross-block accumulation is int32, and the integer-truncated mean is a
+    base-256 long division. No scatters, no 64-bit ops (both are slow to
+    compile and have crashed the worker on this stack at megapixel sizes).
+    """
     n_pad, d = pts_f.shape
     nb = n_pad // _BLOCK
     c_sq = jnp.sum(cents_f * cents_f, axis=1)
+    kids = jnp.arange(k, dtype=jnp.int32)
 
-    def assign_block(args):
-        p, c = args
-        # squared Euclidean distance via the MXU
+    # digit planes of the weighted values + the weights themselves
+    prod = pts_i * w[:, None]  # int32, bounded by the caller
+    cols = [(prod >> s) & 0xFF for s in (24, 16, 8, 0)]
+    wcols = [((w >> s) & 0xFF)[:, None] for s in (24, 16, 8, 0)]
+    feats = jnp.concatenate(cols + wcols, axis=1).astype(jnp.bfloat16)  # (n, 4d+4)
+
+    def block(args):
+        p, c, f = args
         d2 = (
             jnp.sum(p * p, axis=1, keepdims=True)
             - 2.0 * jnp.dot(p, cents_f.T, preferred_element_type=jnp.float32)
@@ -60,27 +74,28 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int):
         best = jnp.argmin(d2, axis=1).astype(jnp.int32)
         best_d2 = jnp.min(d2, axis=1)
         cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
-        return jnp.where(best_d2 < cur_d2, best, c)
+        new_b = jnp.where(best_d2 < cur_d2, best, c)
+        onehot = (new_b[:, None] == kids[None, :]).astype(jnp.bfloat16)  # (bs, k)
+        # exact: 0/1 x values<=255, block sums <= 255*_BLOCK < 2^24
+        sums_b = jnp.dot(onehot.T, f, preferred_element_type=jnp.float32)
+        return new_b, sums_b.astype(jnp.int32)
 
-    new = jax.lax.map(assign_block, (pts_f.reshape(nb, _BLOCK, d), cur.reshape(nb, _BLOCK))).reshape(-1)
-    new = jnp.where(valid, new, 0)
+    new, sums_blocks = jax.lax.map(
+        block,
+        (pts_f.reshape(nb, _BLOCK, d), cur.reshape(nb, _BLOCK),
+         feats.reshape(nb, _BLOCK, 4 * d + 4)),
+    )
+    new = jnp.where(valid, new.reshape(-1), 0)
     changed = jnp.any(new != cur)
+    sums = jnp.sum(sums_blocks, axis=0, dtype=jnp.int32)  # (k, 4d+4)
 
-    # Exact integer-truncated weighted means WITHOUT int64 (large 64-bit
-    # segment ops are emulated and have crashed the TPU worker): the
-    # weighted values (<= 255 * n_pixels < 2^31) are split into four 8-bit
-    # digit planes, each segment-summed in int32, and the per-centroid
-    # division is a base-256 long division — exact for n <= 2^23 points.
-    wsum = jax.ops.segment_sum(w, new, num_segments=k)
-    prod = pts_i * w[:, None]  # int32, bounded by the caller
-    planes = []
-    for s in (24, 16, 8, 0):
-        planes.append(jax.ops.segment_sum((prod >> s) & 0xFF, new, num_segments=k))
+    wsum = sums[:, 4 * d] * 256 ** 3 + sums[:, 4 * d + 1] * 256 ** 2 \
+        + sums[:, 4 * d + 2] * 256 + sums[:, 4 * d + 3]
     denom = jnp.maximum(wsum, 1)[:, None]
-    rem = jnp.zeros_like(planes[0])
-    out = jnp.zeros_like(planes[0])
-    for p in planes:
-        cur_v = rem * 256 + p
+    rem = jnp.zeros((k, d), jnp.int32)
+    out = jnp.zeros((k, d), jnp.int32)
+    for i in range(4):
+        cur_v = rem * 256 + sums[:, i * d : (i + 1) * d]
         q = cur_v // denom
         rem = cur_v - q * denom
         out = out * 256 + q
