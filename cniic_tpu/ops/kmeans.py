@@ -17,9 +17,11 @@ Semantics preserved from the reference:
   (clusterc.rs:92-113), plain component-wise for 5-D pixels
   (clusterc.rs:221-247);
 * iteration runs until no point changes cluster (kmeans.rs:21-39);
-* empty clusters are repaired by stealing a random point
-  (kmeans.rs:110-137) — here with an explicitly seeded generator
-  (documented divergence: different RNG stream than Rust's thread_rng).
+* empty clusters are repaired by stealing a point (kmeans.rs:110-137) —
+  here a hash-of-(iteration, cluster) pick over all points, applied inside
+  the device loop (documented divergence: the reference draws
+  cluster-then-member from thread_rng; empties are an early-iteration
+  transient either way).
 
 Dropped (pure CPU optimizations, no effect on results): the neighbour-graph
 pruning and certainty-radius early-outs.
@@ -38,10 +40,10 @@ jax.config.update("jax_enable_x64", True)
 
 log = logging.getLogger(__name__)
 
-_BLOCK = 8192
+_BLOCK = 16384
 
 
-def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int):
+def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n):
     """One assign+update step. Shapes: pts [n_pad, d] (f32 / int32),
     w int32[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
     cents_f f32[k, d].
@@ -101,33 +103,40 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int):
         out = out * 256 + q
     cents_i = out
     empty = wsum == 0
+
+    # Empty-cluster repair on device (kmeans.rs:110-137 steals a random
+    # point; here the "random" pick is a Weyl-sequence hash of (iteration,
+    # cluster) over the valid points — documented RNG divergence, empties
+    # are a transient of early iterations)
+    mix = (it + 1) * jnp.int32(-1640531527) + jnp.arange(k, dtype=jnp.int32) * jnp.int32(40503)
+    steal = (mix & jnp.int32(0x7FFFFFFF)) % jnp.maximum(n, 1)
+    cents_i = jnp.where(empty[:, None], pts_i[steal], cents_i)
     return new, cents_i, empty, changed
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_iters"))
-def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, k: int, max_iters: int):
-    """Iterate fully on device until convergence, an empty cluster (host
-    repairs and re-enters), or the iteration cap."""
+def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int):
+    """Iterate fully on device until convergence or the burst cap (empty
+    clusters are repaired in-iteration)."""
 
     def cond(state):
-        it, _, _, changed, empty_any = state
-        return jnp.logical_and(jnp.logical_and(changed, jnp.logical_not(empty_any)),
-                               it < max_iters)
+        it, _, _, changed = state
+        return jnp.logical_and(changed, it < it0 + max_iters)
 
     def body(state):
-        it, cur, cents_i, _, _ = state
+        it, cur, cents_i, _ = state
         new, cents_new, empty, changed = _iteration(
-            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k)
-        return it + 1, new, cents_new, changed, jnp.any(empty)
+            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k, it, n)
+        return it + 1, new, cents_new, changed
 
     # do-while: seed with changed=True
-    state = (jnp.int32(0), cur, cents_i, jnp.bool_(True), jnp.bool_(False))
-    it, cur, cents_i, changed, empty_any = jax.lax.while_loop(cond, body, state)
-    return it, cur, cents_i, changed, empty_any
+    state = (it0, cur, cents_i, jnp.bool_(True))
+    it, cur, cents_i, changed = jax.lax.while_loop(cond, body, state)
+    return it, cur, cents_i, changed
 
 
 def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
-           seed: int = 0, max_iters: int = 10_000):
+           seed: int = 0, max_iters: int = 10_000):  # seed kept for API compat
     """Cluster integer-valued points.
 
     points: (n, d) nonnegative integers (any dtype).
@@ -176,33 +185,21 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     cur_dev = jnp.asarray(cur)
     cents_dev = jnp.asarray(centroids)
 
-    rng = np.random.default_rng(seed)
     it = 0
     # The convergence loop runs on device in bounded bursts: a single XLA
     # execution spanning hundreds of iterations over megapixel point sets
-    # trips the runtime watchdog ("TPU worker crashed"), so each call is
-    # capped and the host checks in between. Burst size scales down with
-    # point count to keep per-call runtime in the seconds range.
-    burst = max(2, min(64, (1 << 21) // max(n // 8, 1)))
+    # trips the runtime watchdog, so each call is capped and the host checks
+    # in between. Burst size scales down with point count to keep per-call
+    # runtime in the seconds range.
+    burst = max(4, min(64, (1 << 23) // max(n // 8, 1)))
+    n_dev = jnp.int32(n)
     while it < max_iters:
-        steps, cur_dev, cents_dev, changed, empty_any = _kmeans_loop(
-            pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, k,
-            burst)
-        it += int(steps)
-        if not bool(empty_any):
-            if not bool(changed):
-                break
-            continue  # burst cap hit with moves pending
-        # empty-cluster repair (kmeans.rs:110-137)
-        centroids = np.array(cents_dev)
-        assign_host = np.asarray(cur_dev)[:n]
-        wsum = np.bincount(assign_host, weights=np.asarray(w)[:n], minlength=k)
-        occupied = np.flatnonzero(wsum > 0)
-        for c in np.flatnonzero(wsum == 0):
-            victim = rng.choice(occupied)
-            members = np.flatnonzero(assign_host == victim)
-            centroids[c] = points[rng.choice(members)]
-        cents_dev = jnp.asarray(centroids)
+        it_dev, cur_dev, cents_dev, changed = _kmeans_loop(
+            pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, n_dev,
+            jnp.int32(it), k, burst)
+        it = int(it_dev)
+        if not bool(changed):
+            break
 
     centroids = np.array(cents_dev)
     assignment = np.asarray(cur_dev)[:n]

@@ -54,4 +54,4 @@ def test_kmeans_loop_lowers_for_tpu():
     cur = jnp.asarray(np.zeros(n_pad, np.int32))
     cents = jnp.asarray(np.zeros((4, 3), np.int32))
     f = jax.jit(functools.partial(km._kmeans_loop.__wrapped__, k=4, max_iters=10))
-    _lower_tpu(f, pts_f, pts_i, w, valid, cur, cents)
+    _lower_tpu(f, pts_f, pts_i, w, valid, cur, cents, jnp.int32(n_pad), jnp.int32(0))
