@@ -57,7 +57,6 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n):
     """
     n_pad, d = pts_f.shape
     nb = n_pad // _BLOCK
-    c_sq = jnp.sum(cents_f * cents_f, axis=1)
     kids = jnp.arange(k, dtype=jnp.int32)
 
     # digit planes of the weighted values + the weights themselves
@@ -68,11 +67,20 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n):
 
     def block(args):
         p, c, f = args
-        d2 = (
-            jnp.sum(p * p, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(p, cents_f.T, preferred_element_type=jnp.float32)
-            + c_sq[None, :]
-        )
+        # EXACT f32 squared distances via 2-dim chunks: with per-dim values
+        # <= 2048 every term (squares <= 4.2M, cross products <= 16.6M,
+        # chunk results <= 8.3M, total <= 8.5M) stays below 2^24, so d2 is
+        # an exact integer. Noisy distances made boundary points ping-pong
+        # forever (a limit cycle the reference's f64 math doesn't have).
+        d2 = jnp.zeros((p.shape[0], k), jnp.float32)
+        for lo in range(0, d, 2):
+            pc = p[:, lo : lo + 2]
+            cc = cents_f[:, lo : lo + 2]
+            d2 = d2 + (
+                jnp.sum(pc * pc, axis=1, keepdims=True)
+                - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32)
+                + jnp.sum(cc * cc, axis=1)[None, :]
+            )
         best = jnp.argmin(d2, axis=1).astype(jnp.int32)
         best_d2 = jnp.min(d2, axis=1)
         cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
@@ -173,6 +181,9 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     w[:n] = 1 if weights is None else weights
     if int(points.max(initial=0)) * int(w.max(initial=1)) >= 2**31:
         raise ValueError("kmeans weighted values must fit int32")
+    if int(points.max(initial=0)) > 2048:
+        log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
+                    "exactness and convergence may slow")
     valid = np.zeros(n_pad, dtype=bool)
     valid[:n] = True
     cur = np.zeros(n_pad, dtype=np.int32)

@@ -60,24 +60,32 @@ def main():
     cur_d = jnp.asarray(cur)
     cents_d = jnp.asarray(centroids)
 
+    import jax.numpy as jnp2
+
     t0 = time.time()
     prev = np.asarray(cur_d)
     total = 0
-    for burst in range(200):
+    for burst in range(400):
         t = time.time()
-        steps, cur_d, cents_d, changed, empty = km._kmeans_loop(
-            pts_f, pts_i_d, w_d, v_d, cur_d, cents_d, k, 5)
-        steps = int(steps)
-        total += steps
+        it_dev, cur_d, cents_d, changed = km._kmeans_loop(
+            pts_f, pts_i_d, w_d, v_d, cur_d, cents_d, jnp2.int32(n),
+            jnp2.int32(total), k, 5)
+        steps = int(it_dev) - total
+        total = int(it_dev)
         now = np.asarray(cur_d)
         moved = int((now != prev).sum())
         prev = now
-        print(f"burst {burst}: steps={steps} {time.time()-t:.2f}s moved={moved} "
-              f"changed={bool(changed)} empty={bool(empty)} total_it={total}", flush=True)
-        if not bool(changed) and not bool(empty):
-            break
-        if bool(empty):
-            print("  (empty clusters present; probe stops here)", flush=True)
+        if burst % 10 == 0:
+            asg = now[:n]
+            counts = np.bincount(asg, minlength=k)
+            empties = int((counts == 0).sum())
+            cents = np.asarray(cents_d)
+            samp = np.random.default_rng(0).integers(0, n, 20000)
+            diff = points[samp][:, None, :].astype(np.float64) - cents[None, :, :]
+            cost = float(np.sqrt((diff ** 2).sum(-1)).min(1).mean())
+            print(f"burst {burst}: steps={steps} {time.time()-t:.2f}s moved={moved} "
+                  f"empties={empties} sampled_cost={cost:.2f} total_it={total}", flush=True)
+        if not bool(changed):
             break
     print(f"TOTAL {time.time()-t0:.1f}s, {total} iterations", flush=True)
 
