@@ -20,10 +20,17 @@ def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     side = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
-    img = image_io.load_image("/tmp/corpus/t1.png")
-    big = np.tile(img, (5, 5, 1))[:1356, :2040]
-    if side:
-        big = big[:side, :side]
+    if side < 0:
+        # non-repeating natural-ish synthetic (bench-style)
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+        bench = importlib.util.module_from_spec(spec); spec.loader.exec_module(bench)
+        big = bench.synth_image(np.random.default_rng(1), -side, -side)
+    else:
+        img = image_io.load_image("/tmp/corpus/t1.png")
+        big = np.tile(img, (5, 5, 1))[:1356, :2040]
+        if side:
+            big = big[:side, :side]
     h, w = big.shape[:2]
     px = big.reshape(-1, 3).astype(np.int32)
     xs = np.tile(np.arange(w, dtype=np.int32), h)
