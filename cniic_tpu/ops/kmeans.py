@@ -43,7 +43,7 @@ log = logging.getLogger(__name__)
 _BLOCK = 16384
 
 
-def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n):
+def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int):
     """One assign+update step. Shapes: pts [n_pad, d] (f32 / int32),
     w int32[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
     cents_f f32[k, d].
@@ -56,7 +56,7 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n):
     compile and have crashed the worker on this stack at megapixel sizes).
     """
     n_pad, d = pts_f.shape
-    nb = n_pad // _BLOCK
+    nb = n_pad // bs
     kids = jnp.arange(k, dtype=jnp.int32)
 
     # digit planes of the weighted values + the weights themselves
@@ -86,14 +86,14 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n):
         cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
         new_b = jnp.where(best_d2 < cur_d2, best, c)
         onehot = (new_b[:, None] == kids[None, :]).astype(jnp.bfloat16)  # (bs, k)
-        # exact: 0/1 x values<=255, block sums <= 255*_BLOCK < 2^24
+        # exact: 0/1 x values<=255, block sums <= 255*bs < 2^24
         sums_b = jnp.dot(onehot.T, f, preferred_element_type=jnp.float32)
         return new_b, sums_b.astype(jnp.int32)
 
     new, sums_blocks = jax.lax.map(
         block,
-        (pts_f.reshape(nb, _BLOCK, d), cur.reshape(nb, _BLOCK),
-         feats.reshape(nb, _BLOCK, 4 * d + 4)),
+        (pts_f.reshape(nb, bs, d), cur.reshape(nb, bs),
+         feats.reshape(nb, bs, 4 * d + 4)),
     )
     new = jnp.where(valid, new.reshape(-1), 0)
     moved = jnp.sum((new != cur).astype(jnp.int32), dtype=jnp.int32)
@@ -122,8 +122,8 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n):
     return new, cents_i, empty, moved
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters"))
-def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int):
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs"))
+def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int, bs: int = _BLOCK):
     """Iterate fully on device until no point moves or the burst cap (empty
     clusters are repaired in-iteration). Returns the last move count."""
 
@@ -134,7 +134,7 @@ def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters
     def body(state):
         it, cur, cents_i, _ = state
         new, cents_new, empty, moved = _iteration(
-            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k, it, n)
+            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k, it, n, bs)
         return it + 1, new, cents_new, moved
 
     # do-while: seed with moved=1
@@ -174,7 +174,10 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     # --- padding to the block size ---
     if n > 4_000_000:
         raise ValueError("kmeans int32 digit-plane means support <= 4M points")
-    n_pad = -(-n // _BLOCK) * _BLOCK
+    # bigger blocks amortize per-step dispatch overhead; cap the distance
+    # tile at ~32MB (bs * k * 4B)
+    bs = 65536 if k <= 512 else _BLOCK
+    n_pad = -(-n // bs) * bs
     pts_i = np.zeros((n_pad, d), dtype=np.int32)
     pts_i[:n] = points
     w = np.zeros(n_pad, dtype=np.int32)
@@ -215,7 +218,7 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     while it < max_iters:
         it_dev, cur_dev, cents_dev, moved = _kmeans_loop(
             pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, n_dev,
-            jnp.int32(it), k, burst)
+            jnp.int32(it), k, burst, bs)
         it = int(it_dev)
         moved = int(moved)
         if moved == 0:
