@@ -66,42 +66,56 @@ SUITE = [
 def main() -> int:
     rng = np.random.default_rng(2024)
     per_codec = {}
+    failures = {}
     details = []
     for spec, side, n_imgs in SUITE:
         codec = from_spec(spec)
         imgs = [synth_image(rng, side, side) for _ in range(n_imgs)]
-        # warmup (jit compiles, native lib build, first-fetch toll) at the
-        # real shape so the timed run hits warm caches
-        codec.encode_batch(imgs[:2])
+        try:
+            # warmup (jit compiles, native lib build, first-fetch toll) at
+            # the real shape so the timed run hits warm caches
+            codec.encode_batch(imgs[:2])
 
-        t0 = time.perf_counter()
-        blobs = codec.encode_batch(imgs)
-        enc_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            blobs = codec.encode_batch(imgs)
+            enc_s = time.perf_counter() - t0
 
-        mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
-        mps = mp / enc_s
+            mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+            mps = mp / enc_s
+
+            # round-trip check on the first image
+            dec = codec.decode(blobs[0])
+            err = compute_error(imgs[0], dec)
+            if codec.is_lossless and err != 0.0:
+                print(f"FATAL: {codec.name} lossless round-trip failed (MSE={err})", file=sys.stderr)
+                return 1
+        except Exception as e:  # a failed codec flags but doesn't kill the bench
+            failures[codec.name] = repr(e)[:200]
+            details.append(f"{codec.name}: FAILED {e!r}")
+            continue
         per_codec[codec.name] = mps
-
-        # round-trip check on the first image
-        dec = codec.decode(blobs[0])
-        err = compute_error(imgs[0], dec)
-        if codec.is_lossless and err != 0.0:
-            print(f"FATAL: {codec.name} lossless round-trip failed (MSE={err})", file=sys.stderr)
-            return 1
         ratio = len(blobs[0]) / (side * side * 24) * 100
         details.append(f"{codec.name}: {mps:.2f} MP/s, ratio {ratio:.3f}%, MSE {err:.1f}")
 
     for line in details:
         print(line, file=sys.stderr)
 
+    if not per_codec:
+        print(json.dumps({"metric": "encode_throughput_geomean_9codecs",
+                          "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+                          "failures": failures}))
+        return 1
     value = math.exp(sum(math.log(v) for v in per_codec.values()) / len(per_codec))
-    print(json.dumps({
+    out = {
         "metric": "encode_throughput_geomean_9codecs",
         "value": round(value, 3),
         "unit": "MP/s",
         "vs_baseline": round(value / 1.0, 3),
         "per_codec_mps": {k: round(v, 3) for k, v in per_codec.items()},
-    }))
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     return 0
 
 
