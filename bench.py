@@ -73,8 +73,8 @@ def main() -> int:
         imgs = [synth_image(rng, side, side) for _ in range(n_imgs)]
         try:
             # warmup (jit compiles, native lib build, first-fetch toll) at
-            # the real shape so the timed run hits warm caches
-            codec.encode_batch(imgs[:2])
+            # the exact batch shape so the timed run hits warm caches
+            codec.encode_batch(imgs)
 
             t0 = time.perf_counter()
             blobs = codec.encode_batch(imgs)
