@@ -221,14 +221,14 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
             jnp.int32(it), k, burst, bs)
         it = int(it_dev)
         moved = int(moved)
-        if moved == 0:
+        if moved <= max(n >> 10, 0):  # < 0.1% of points still moving
             break
         if moved < best_moved:
             best_moved = moved
             stall = 0
         else:
             stall += 1
-            if stall >= 4:
+            if stall >= 3:
                 log.info("k-means: move count plateaued at %d (%d iterations)",
                          moved, it)
                 break
