@@ -42,40 +42,65 @@ def sharded_kmeans_step(mesh: Mesh, k: int, block: int = 1024):
     """Build a jitted sharded k-means iteration.
 
     Returns step(pts_f, pts_i, w, cur, cents_f) ->
-        (new_assign int32[n], cents int64[k, d], wsum int64[k], changed bool)
+        (new_assign int32[n], cents int32[k, d], wsum int32[k], changed bool)
     with pts/w/cur sharded on the batch axis and centroids replicated.
+    Same int64-free formulation as ops/kmeans.py: one-hot MXU matmuls over
+    8-bit digit planes, int32 psum over ICI, base-256 long-division means.
     """
 
     def _local(pts_f, pts_i, w, cur, cents_f):
         n_loc, d = pts_f.shape
         nb = max(n_loc // block, 1)
-        c_sq = jnp.sum(cents_f * cents_f, axis=1)
+        kids = jnp.arange(k, dtype=jnp.int32)
+
+        prod = pts_i * w[:, None]
+        cols = [(prod >> s) & 0xFF for s in (24, 16, 8, 0)]
+        wcols = [((w >> s) & 0xFF)[:, None] for s in (24, 16, 8, 0)]
+        feats = jnp.concatenate(cols + wcols, axis=1).astype(jnp.bfloat16)
 
         def assign_block(args):
-            p, c = args
-            d2 = (
-                jnp.sum(p * p, axis=1, keepdims=True)
-                - 2.0 * jnp.dot(p, cents_f.T, preferred_element_type=jnp.float32)
-                + c_sq[None, :]
-            )
+            p, c, f = args
+            d2 = jnp.zeros((p.shape[0], k), jnp.float32)
+            for lo in range(0, d, 2):
+                pc = p[:, lo : lo + 2]
+                cc = cents_f[:, lo : lo + 2]
+                d2 = d2 + (
+                    jnp.sum(pc * pc, axis=1, keepdims=True)
+                    - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32)
+                    + jnp.sum(cc * cc, axis=1)[None, :]
+                )
             best = jnp.argmin(d2, axis=1).astype(jnp.int32)
             best_d2 = jnp.min(d2, axis=1)
             cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
-            return jnp.where(best_d2 < cur_d2, best, c)
+            new_b = jnp.where(best_d2 < cur_d2, best, c)
+            onehot = (new_b[:, None] == kids[None, :]).astype(jnp.bfloat16)
+            sums_b = jnp.dot(onehot.T, f, preferred_element_type=jnp.float32)
+            return new_b, sums_b.astype(jnp.int32)
 
-        new = jax.lax.map(
-            assign_block, (pts_f.reshape(nb, -1, d), cur.reshape(nb, -1))
-        ).reshape(-1)
+        new, sums_blocks = jax.lax.map(
+            assign_block,
+            (pts_f.reshape(nb, -1, d), cur.reshape(nb, -1),
+             feats.reshape(nb, -1, 4 * d + 4)),
+        )
+        new = new.reshape(-1)
         changed_loc = jnp.any(new != cur)
+        sums_loc = jnp.sum(sums_blocks, axis=0, dtype=jnp.int32)
 
-        wsum_loc = jax.ops.segment_sum(w, new, num_segments=k)
-        sums_loc = jax.ops.segment_sum(pts_i * w[:, None], new, num_segments=k)
         # ICI collectives: replicate the centroid statistics
-        wsum = jax.lax.psum(wsum_loc, "batch")
         sums = jax.lax.psum(sums_loc, "batch")
         changed = jax.lax.psum(changed_loc.astype(jnp.int32), "batch") > 0
-        cents = sums // jnp.maximum(wsum, 1)[:, None]
-        return new, cents, wsum, changed
+
+        wsum = sums[:, 4 * d] * 256 ** 3 + sums[:, 4 * d + 1] * 256 ** 2 \
+            + sums[:, 4 * d + 2] * 256 + sums[:, 4 * d + 3]
+        denom = jnp.maximum(wsum, 1)[:, None]
+        rem = jnp.zeros((k, d), jnp.int32)
+        out = jnp.zeros((k, d), jnp.int32)
+        for i in range(4):
+            cur_v = rem * 256 + sums[:, i * d : (i + 1) * d]
+            q = cur_v // denom
+            rem = cur_v - q * denom
+            out = out * 256 + q
+        return new, out, wsum, changed
 
     sharded = shard_map(
         _local,
