@@ -25,7 +25,15 @@ Numerics: the acceptance test is evaluated in the count²-scaled form
 f32 (≤ 255·255), so decisions match the reference's f64 average-form at
 exact-tie boundaries; divergence is possible only within ~1e-4·allow of the
 boundary (the native C engine keeps the exact-f64 single-stream path and is
-the conformance oracle).
+the conformance oracle). Measured on hardware: identical record streams at
+allow=1 and allow=16; one record in ~2,700 differs at allow=4 — a case where
+the kernel's exact rational comparison and the reference's rounded f64 one
+legitimately disagree at the boundary.
+
+Status: correct on hardware but gated behind CNIIC_PALLAS_RLE=1 — the
+masked-column extraction costs ~128x redundant lane work per position, so
+the kernel only wins over the native engine when ~128+ streams are packed;
+the codec path defaults to the native engine.
 """
 
 from __future__ import annotations

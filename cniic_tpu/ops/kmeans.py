@@ -223,7 +223,7 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
         moved = int(moved)
         if moved <= max(n >> 10, 0):  # < 0.1% of points still moving
             break
-        if moved < best_moved:
+        if moved < best_moved * 0.98:  # require real progress, not jitter
             best_moved = moved
             stall = 0
         else:
