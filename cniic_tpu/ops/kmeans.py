@@ -78,7 +78,8 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int):
             cc = cents_f[:, lo : lo + 2]
             d2 = d2 + (
                 jnp.sum(pc * pc, axis=1, keepdims=True)
-                - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32)
+                - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                 + jnp.sum(cc * cc, axis=1)[None, :]
             )
         best = jnp.argmin(d2, axis=1).astype(jnp.int32)

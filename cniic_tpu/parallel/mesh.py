@@ -66,7 +66,8 @@ def sharded_kmeans_step(mesh: Mesh, k: int, block: int = 1024):
                 cc = cents_f[:, lo : lo + 2]
                 d2 = d2 + (
                     jnp.sum(pc * pc, axis=1, keepdims=True)
-                    - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32)
+                    - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                     + jnp.sum(cc * cc, axis=1)[None, :]
                 )
             best = jnp.argmin(d2, axis=1).astype(jnp.int32)
