@@ -203,10 +203,15 @@ EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
 /* open-addressing hash map: uint64 key -> int32 x 2 payload           */
 /* ------------------------------------------------------------------ */
 
+/* one 16-byte slot per entry: a probe costs one cache line, not three */
 typedef struct {
-    uint64_t *keys;  /* 0 = empty (keys stored +1) */
-    int32_t *v0;
-    int32_t *v1;
+    uint64_t key; /* 0 = empty (keys stored +1) */
+    int32_t v0;
+    int32_t v1;
+} MapSlot;
+
+typedef struct {
+    MapSlot *slots;
     int64_t cap;     /* power of two */
     int64_t count;
 } Map;
@@ -214,18 +219,14 @@ typedef struct {
 static int map_init(Map *m, int64_t cap) {
     int64_t c = 1024;
     while (c < cap) c <<= 1;
-    m->keys = (uint64_t *)calloc((size_t)c, sizeof(uint64_t));
-    m->v0 = (int32_t *)malloc((size_t)c * sizeof(int32_t));
-    m->v1 = (int32_t *)malloc((size_t)c * sizeof(int32_t));
+    m->slots = (MapSlot *)calloc((size_t)c, sizeof(MapSlot));
     m->cap = c;
     m->count = 0;
-    return m->keys && m->v0 && m->v1;
+    return m->slots != NULL;
 }
 
 static void map_destroy(Map *m) {
-    free(m->keys);
-    free(m->v0);
-    free(m->v1);
+    free(m->slots);
 }
 
 static inline uint64_t hash64(uint64_t k) {
@@ -246,16 +247,17 @@ static int64_t map_slot(Map *m, uint64_t key, int create, int32_t d0, int32_t d1
     int64_t mask = m->cap - 1;
     int64_t i = (int64_t)(hash64(k1) & (uint64_t)mask);
     for (;;) {
-        if (m->keys[i] == k1) return i;
-        if (m->keys[i] == 0) {
+        MapSlot *s = &m->slots[i];
+        if (s->key == k1) return i;
+        if (s->key == 0) {
             if (!create) return -1;
             if (m->count * 10 >= m->cap * 7) {
                 if (!map_grow(m)) return -2;
                 return map_slot(m, key, create, d0, d1);
             }
-            m->keys[i] = k1;
-            m->v0[i] = d0;
-            m->v1[i] = d1;
+            s->key = k1;
+            s->v0 = d0;
+            s->v1 = d1;
             m->count++;
             return i;
         }
@@ -267,8 +269,8 @@ static int map_grow(Map *m) {
     Map n;
     if (!map_init(&n, m->cap * 2)) return 0;
     for (int64_t i = 0; i < m->cap; i++) {
-        if (m->keys[i]) {
-            int64_t j = map_slot(&n, m->keys[i] - 1, 1, m->v0[i], m->v1[i]);
+        if (m->slots[i].key) {
+            int64_t j = map_slot(&n, m->slots[i].key - 1, 1, m->slots[i].v0, m->slots[i].v1);
             if (j < 0) { map_destroy(&n); return 0; }
         }
     }
@@ -311,15 +313,15 @@ static int trie_insert(DictTrie *t, const uint8_t *seq, int64_t len, int32_t cod
         uint64_t key = ((uint64_t)node << 8) | seq[i];
         int64_t s = map_slot(&t->edges, key, 1, -1, -1);
         if (s < 0) return 0;
-        if (t->edges.v1[s] < 0) {
-            t->edges.v1[s] = t->n_nodes++;
+        if (t->edges.slots[s].v1 < 0) {
+            t->edges.slots[s].v1 = t->n_nodes++;
         }
-        node = t->edges.v1[s];
+        node = t->edges.slots[s].v1;
     }
     uint64_t key = ((uint64_t)node << 8) | seq[len - 1];
     int64_t s = map_slot(&t->edges, key, 1, code, -1);
     if (s < 0) return 0;
-    t->edges.v0[s] = code; /* upsert: overwrite any previous code */
+    t->edges.slots[s].v0 = code; /* upsert: overwrite any previous code */
     return 1;
 }
 
@@ -336,12 +338,12 @@ static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
         uint64_t key = ((uint64_t)node << 8) | in[p];
         int64_t s = map_slot(&t->edges, key, 0, 0, 0);
         if (s < 0) break;
-        if (t->edges.v0[s] >= 0) {
-            longest = t->edges.v0[s];
+        if (t->edges.slots[s].v0 >= 0) {
+            longest = t->edges.slots[s].v0;
             longest_end = p + 1;
         }
-        if (t->edges.v1[s] < 0) break;
-        node = t->edges.v1[s];
+        if (t->edges.slots[s].v1 < 0) break;
+        node = t->edges.slots[s].v1;
         p++;
     }
     *end = longest_end;
@@ -472,7 +474,7 @@ static int gen_init(Gen *g) {
 static void gen_clear(Gen *g) {
     for (int64_t i = 0; i < g->pool_len; i++) free(g->pool[i].pos);
     g->pool_len = 0;
-    memset(g->map.keys, 0, (size_t)g->map.cap * sizeof(uint64_t));
+    memset(g->map.slots, 0, (size_t)g->map.cap * sizeof(MapSlot));
     g->map.count = 0;
 }
 
@@ -485,7 +487,7 @@ static void gen_destroy(Gen *g) {
 static int gen_add(Gen *g, uint64_t key, int64_t position) {
     int64_t s = map_slot(&g->map, key, 1, -1, -1);
     if (s < -1) return 0;
-    if (g->map.v0[s] < 0) {
+    if (g->map.slots[s].v0 < 0) {
         if (g->pool_len == g->pool_cap) {
             g->pool_cap *= 2;
             PosVec *np = (PosVec *)realloc(g->pool, (size_t)g->pool_cap * sizeof(PosVec));
@@ -497,9 +499,9 @@ static int gen_add(Gen *g, uint64_t key, int64_t position) {
         v->len = 0;
         v->pos = (int64_t *)malloc(4 * sizeof(int64_t));
         if (!v->pos) return 0;
-        g->map.v0[s] = (int32_t)g->pool_len++;
+        g->map.slots[s].v0 = (int32_t)g->pool_len++;
     }
-    PosVec *v = &g->pool[g->map.v0[s]];
+    PosVec *v = &g->pool[g->map.slots[s].v0];
     if (v->len == v->cap) {
         v->cap *= 2;
         int64_t *np = (int64_t *)realloc(v->pos, (size_t)v->cap * sizeof(int64_t));
@@ -513,7 +515,7 @@ static int gen_add(Gen *g, uint64_t key, int64_t position) {
 static PosVec *gen_get(Gen *g, uint64_t key) {
     int64_t s = map_slot(&g->map, key, 0, 0, 0);
     if (s < 0) return NULL;
-    return &g->pool[g->map.v0[s]];
+    return &g->pool[g->map.slots[s].v0];
 }
 
 /* In the encoder the committed history is always exactly the already-
