@@ -152,3 +152,17 @@ def test_encode_batch_matches_sequential(rng, test_image, monkeypatch):
         batch = codec.encode_batch(imgs)
         seq = [codec.encode(im) for im in imgs]
         assert batch == seq, spec
+
+
+@pytest.mark.parametrize("spec", ["hufman", "delta", "hilbert(rle)", "zip(dict)", "voronoi(4)"])
+def test_decode_rejects_truncated_stream(spec, test_image):
+    codec = from_spec(spec)
+    data = codec.encode(test_image)
+    with pytest.raises(Exception):
+        codec.decode(data[: len(data) // 3])
+
+
+def test_rle_decode_rejects_garbage():
+    codec = from_spec("hilbert(rle)")
+    with pytest.raises(Exception):
+        codec.decode(wire.pack_dims(4, 4) + b"\x01\x02\x03")
