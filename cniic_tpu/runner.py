@@ -120,7 +120,13 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
     if not imgs:
         return
     t0 = time.perf_counter()
-    blobs = codec.encode_batch(imgs)
+    try:
+        blobs = codec.encode_batch(imgs)
+    except Exception as e:  # whole group fails; continue with other groups
+        for p in names:
+            res.failures.append((str(p), repr(e)))
+        print(f"error: batch {names[0]}..{names[-1]}: {e!r}")
+        return
     enc_s = time.perf_counter() - t0
     res.encode_s += enc_s
     res.megapixels += sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
