@@ -132,11 +132,9 @@ def pack_bits_batch(ids: np.ndarray, codes: np.ndarray, lens: np.ndarray):
         jnp.asarray(ids), jnp.asarray(hi), jnp.asarray(lo),
         jnp.asarray(lens.astype(np.int32)), n_words)
     bits = np.asarray(bits)
-    out = []
-    for i in range(ids.shape[0]):
-        nw = (int(bits[i]) + 31) // 32
-        out.append(_words_to_bytes(np.asarray(words[i, :nw]), int(bits[i])))
-    return out
+    slices = jax.device_get(
+        [words[i, : (int(bits[i]) + 31) // 32] for i in range(ids.shape[0])])
+    return [_words_to_bytes(w, int(b)) for w, b in zip(slices, bits)]
 
 
 def _bucket(n: int) -> int:
