@@ -29,13 +29,31 @@ class ClusterColors(Codec):
         self.n = int(n)
 
     def encode(self, img: np.ndarray) -> bytes:
+        h, w = img.shape[:2]
         pixels = pixels_row_major(img)
         colors, counts, inverse = histogram.color_histogram(pixels)
         centroids, assignment, _ = kmeans.kmeans(
             colors.astype(np.int64), self.n, weights=counts.astype(np.int64))
         palette = centroids.astype(np.uint8)          # means stay in 0..255
-        reduced = palette[assignment][inverse].reshape(img.shape)
-        return Hufman().encode(reduced)
+
+        # Huffman stream built straight from the palette statistics — byte-
+        # identical to Hufman().encode(palette[assignment][inverse]) but
+        # skips re-histogramming the full reduced image. Distinct centroid
+        # colors can merge (several clusters, one color), so dedup first.
+        from .. import huffman, wire
+
+        pal_keys = histogram.pack_colors(palette.astype(np.uint8))
+        uniq_keys, pal_rank = np.unique(pal_keys, return_inverse=True)
+        cluster_w = np.bincount(assignment, weights=counts.astype(np.float64),
+                                minlength=self.n)
+        freq = np.zeros(uniq_keys.size, dtype=np.int64)
+        np.add.at(freq, pal_rank, cluster_w.astype(np.int64))
+        leaf = np.frombuffer(
+            wire.rgb_stream_to_wire(histogram.unpack_colors(uniq_keys.astype(np.uint32))),
+            dtype=np.uint8).reshape(-1, wire.RGB_WIRE_SIZE)
+        ids = pal_rank.astype(np.int32)[assignment][inverse]
+        stream = huffman.encode_stream(ids, freq, leaf)
+        return wire.pack_dims(w, h) + stream
 
     def decode(self, data) -> np.ndarray:
         return Hufman().decode(data)

@@ -166,3 +166,21 @@ def test_rle_decode_rejects_garbage():
     codec = from_spec("hilbert(rle)")
     with pytest.raises(Exception):
         codec.decode(wire.pack_dims(4, 4) + b"\x01\x02\x03")
+
+
+def test_cluster_colors_stream_matches_hufman_of_reduced(test_image):
+    """The direct-from-palette Huffman stream must be byte-identical to
+    Hufman-encoding the reduced image (clusterc.rs:43-52 semantics)."""
+    from cniic_tpu.codecs.hufman import Hufman
+    from cniic_tpu.codecs.base import pixels_row_major
+    from cniic_tpu.ops import histogram, kmeans
+
+    cc = from_spec("cluster-colors(8)")
+    data = cc.encode(test_image)
+
+    pixels = pixels_row_major(test_image)
+    colors, counts, inverse = histogram.color_histogram(pixels)
+    centroids, assignment, _ = kmeans.kmeans(
+        colors.astype(np.int64), 8, weights=counts.astype(np.int64))
+    reduced = centroids.astype(np.uint8)[assignment][inverse].reshape(test_image.shape)
+    assert data == Hufman().encode(reduced)
