@@ -455,6 +455,7 @@ EXPORT int zip_dict_decode(const uint8_t *in, int64_t n,
 typedef struct {
     int64_t *pos;
     int64_t len, cap;
+    int64_t head;   /* lazily advanced past aged-out entries */
 } PosVec;
 
 typedef struct {
@@ -497,6 +498,7 @@ static int gen_add(Gen *g, uint64_t key, int64_t position) {
         PosVec *v = &g->pool[g->pool_len];
         v->cap = 4;
         v->len = 0;
+        v->head = 0;
         v->pos = (int64_t *)malloc(4 * sizeof(int64_t));
         if (!v->pos) return 0;
         g->map.slots[s].v0 = (int32_t)g->pool_len++;
@@ -526,8 +528,15 @@ static PosVec *gen_get(Gen *g, uint64_t key) {
 typedef struct {
     const uint8_t *in;
     int64_t total;   /* bytes committed to history so far (== input prefix) */
-    Gen old_gen, new_gen;
+    Gen old_gen, new_gen;     /* 6-byte keys: oldest-valid candidate lookup */
+    Gen old_gen7, new_gen7;   /* 7-byte keys: the >=7-length scan subset */
 } History;
+
+static inline uint64_t key7(const uint8_t *p) {
+    uint64_t k = 0;
+    for (int i = 0; i < ZB_MINREP + 1; i++) k = (k << 8) | p[i];
+    return k;
+}
 
 static inline uint64_t key6(const uint8_t *p) {
     uint64_t k = 0;
@@ -545,12 +554,22 @@ static int hist_commit(History *h, int64_t count) {
             int64_t p = q - (ZB_MINREP - 1);
             if (!gen_add(&h->new_gen, key6(in + p), p)) return 0;
         }
+        if (q >= ZB_MINREP) {
+            int64_t p = q - ZB_MINREP;
+            if (!gen_add(&h->new_gen7, key7(in + p), p)) return 0;
+        }
         if (q % ZB_RING == 0 && h->new_gen.map.count > 0) {
-            /* wrap-around: age the generations */
+            /* wrap-around: age the generations. Every dropped entry is
+             * provably outside the 65535 window, so pruning timing cannot
+             * change any match result (validity is re-checked per lookup) */
             gen_clear(&h->old_gen);
             Gen tmp = h->old_gen;
             h->old_gen = h->new_gen;
             h->new_gen = tmp;
+            gen_clear(&h->old_gen7);
+            tmp = h->old_gen7;
+            h->old_gen7 = h->new_gen7;
+            h->new_gen7 = tmp;
         }
     }
     return 1;
@@ -559,45 +578,78 @@ static int hist_commit(History *h, int64_t count) {
 /* Longest match of in[pos..n) against the history window, searched via the
  * 6-byte prefix index; first strictly-longer candidate wins
  * (back.rs:253-277). Returns length; *back_out = distance from the head. */
+/* Longest match with the reference's winner rule (first strictly-longer
+ * candidate in ascending-position order, back.rs:253-277), computed via two
+ * exact shortcuts:
+ *   - any candidate capable of a match >= 7 shares the query's 7-byte
+ *     prefix, so only the (usually tiny) 7-key subset is scanned in full;
+ *     within it the global position order is preserved, so the winner for
+ *     any max >= 7 is identical to the full 6-key scan's;
+ *   - if the 7-subset yields nothing, every valid 6-key candidate matches
+ *     exactly min(6, lim), so the winner is the oldest valid one — found in
+ *     O(1) amortized via a lazily-advanced head pointer (positions are
+ *     inserted in ascending order, so aged entries form a prefix). */
 static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
                           int64_t *back_out) {
     if (n - pos < ZB_MINREP) return 0;
-    uint64_t key = key6(in + pos);
     int64_t window_start = h->total > ZB_RING ? h->total - ZB_RING : 0;
-    int64_t best_len = 0, best_back = 0;
-    Gen *gens[2] = {&h->old_gen, &h->new_gen};
-    for (int gi = 0; gi < 2; gi++) {
-        PosVec *v = gen_get(gens[gi], key);
+
+    /* oldest valid 6-key candidate */
+    uint64_t k6 = key6(in + pos);
+    int64_t first6 = -1;
+    Gen *gens6[2] = {&h->old_gen, &h->new_gen};
+    for (int gi = 0; gi < 2 && first6 < 0; gi++) {
+        PosVec *v = gen_get(gens6[gi], k6);
         if (!v) continue;
-        for (int64_t i = 0; i < v->len; i++) {
-            int64_t cand = v->pos[i];
-            if (cand < window_start) continue; /* aged out */
-            int64_t lim = h->total - cand; /* match may not run past history end */
-            if (n - pos < lim) lim = n - pos;
-            if (lim > ZB_MAXLEN) lim = ZB_MAXLEN;
-            if (lim <= best_len) continue;
-            /* quick reject: to beat best_len the (best_len+1)-prefix must
-             * match, so the byte at best_len must (same winner selected) */
-            if (in[cand + best_len] != in[pos + best_len]) continue;
-            const uint8_t *a = in + pos, *c = in + cand;
-            int64_t l = 0;
-            while (l + 8 <= lim) {
-                uint64_t xa, xc;
-                memcpy(&xa, a + l, 8);
-                memcpy(&xc, c + l, 8);
-                if (xa != xc) {
-                    uint64_t diff = xa ^ xc;
-                    l += (int64_t)(__builtin_ctzll(diff) >> 3);
-                    goto done;
+        while (v->head < v->len && v->pos[v->head] < window_start) v->head++;
+        if (v->head < v->len) first6 = v->pos[v->head];
+    }
+    if (first6 < 0 || h->total - first6 < ZB_MINREP) {
+        /* no candidate can reach MIN_REP (positions ascend, so the oldest
+         * valid one has the largest history headroom); the caller discards
+         * sub-MIN_REP results either way (back.rs:190-199) */
+        *back_out = 0;
+        return 0;
+    }
+    int64_t best_len = ZB_MINREP;
+    int64_t best_back = h->total - first6;
+
+    if (n - pos >= ZB_MINREP + 1) {
+        uint64_t k7 = key7(in + pos);
+        Gen *gens7[2] = {&h->old_gen7, &h->new_gen7};
+        for (int gi = 0; gi < 2; gi++) {
+            PosVec *v = gen_get(gens7[gi], k7);
+            if (!v) continue;
+            while (v->head < v->len && v->pos[v->head] < window_start) v->head++;
+            for (int64_t i = v->head; i < v->len; i++) {
+                int64_t cand = v->pos[i];
+                int64_t lim = h->total - cand; /* no run past history end */
+                if (n - pos < lim) lim = n - pos;
+                if (lim > ZB_MAXLEN) lim = ZB_MAXLEN;
+                if (lim <= best_len) continue;
+                /* quick reject: to beat best_len the (best_len+1)-prefix
+                 * must match, so the byte at best_len must */
+                if (in[cand + best_len] != in[pos + best_len]) continue;
+                const uint8_t *a = in + pos, *c = in + cand;
+                int64_t l = ZB_MINREP + 1; /* first 7 bytes match by key */
+                while (l + 8 <= lim) {
+                    uint64_t xa, xc;
+                    memcpy(&xa, a + l, 8);
+                    memcpy(&xc, c + l, 8);
+                    if (xa != xc) {
+                        uint64_t diff = xa ^ xc;
+                        l += (int64_t)(__builtin_ctzll(diff) >> 3);
+                        goto done;
+                    }
+                    l += 8;
                 }
-                l += 8;
-            }
-            while (l < lim && a[l] == c[l]) l++;
-        done:
-            if (l > lim) l = lim;
-            if (l > best_len) {
-                best_len = l;
-                best_back = h->total - cand;
+                while (l < lim && a[l] == c[l]) l++;
+            done:
+                if (l > lim) l = lim;
+                if (l > best_len) {
+                    best_len = l;
+                    best_back = h->total - cand;
+                }
             }
         }
     }
@@ -611,7 +663,9 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
     Buf b;
     if (!h) return -1;
     h->in = in;
-    if (!gen_init(&h->old_gen) || !gen_init(&h->new_gen) || !buf_init(&b, n / 2 + 64)) {
+    if (!gen_init(&h->old_gen) || !gen_init(&h->new_gen) ||
+        !gen_init(&h->old_gen7) || !gen_init(&h->new_gen7) ||
+        !buf_init(&b, n / 2 + 64)) {
         free(h);
         return -1;
     }
@@ -661,6 +715,8 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
 
     gen_destroy(&h->old_gen);
     gen_destroy(&h->new_gen);
+    gen_destroy(&h->old_gen7);
+    gen_destroy(&h->new_gen7);
     free(h);
     if (!ok) { free(b.data); return -1; }
     *out = b.data;
