@@ -67,24 +67,18 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int):
 
     def block(args):
         p, c, f = args
-        # EXACT f32 squared distances via 2-dim chunks: with per-dim values
-        # <= 2048 every term (squares <= 4.2M, cross products <= 16.6M,
-        # chunk results <= 8.3M, total <= 8.5M) stays below 2^24, so d2 is
-        # an exact integer. Noisy distances made boundary points ping-pong
-        # forever (a limit cycle the reference's f64 math doesn't have).
-        d2 = jnp.zeros((p.shape[0], k), jnp.float32)
-        for lo in range(0, d, 2):
-            pc = p[:, lo : lo + 2]
-            cc = cents_f[:, lo : lo + 2]
-            d2 = d2 + (
-                jnp.sum(pc * pc, axis=1, keepdims=True)
-                - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                + jnp.sum(cc * cc, axis=1)[None, :]
-            )
+        # EXACT f32 squared distances in fused broadcast diff-form: with
+        # per-dim values <= 2048 every square (<= 4.2M) and the d-term sum
+        # (<= 8.6M for 2 coords + 3 colors) stays below 2^24, so d2 is an
+        # exact integer and decisions match f64 (noisy distances made
+        # boundary points limit-cycle). The VPU diff-form beats K=2 MXU
+        # matmuls ~1.5x at these shapes, verified assignment-identical.
+        diff = p[:, None, :] - cents_f[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
         best = jnp.argmin(d2, axis=1).astype(jnp.int32)
         best_d2 = jnp.min(d2, axis=1)
-        cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
+        cur_c = cents_f[c]
+        cur_d2 = jnp.sum((p - cur_c) * (p - cur_c), axis=-1)
         new_b = jnp.where(best_d2 < cur_d2, best, c)
         onehot = (new_b[:, None] == kids[None, :]).astype(jnp.bfloat16)  # (bs, k)
         # exact: 0/1 x values<=255, block sums <= 255*bs < 2^24

@@ -60,19 +60,12 @@ def sharded_kmeans_step(mesh: Mesh, k: int, block: int = 1024):
 
         def assign_block(args):
             p, c, f = args
-            d2 = jnp.zeros((p.shape[0], k), jnp.float32)
-            for lo in range(0, d, 2):
-                pc = p[:, lo : lo + 2]
-                cc = cents_f[:, lo : lo + 2]
-                d2 = d2 + (
-                    jnp.sum(pc * pc, axis=1, keepdims=True)
-                    - 2.0 * jnp.dot(pc, cc.T, preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                    + jnp.sum(cc * cc, axis=1)[None, :]
-                )
+            diff = p[:, None, :] - cents_f[None, :, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
             best = jnp.argmin(d2, axis=1).astype(jnp.int32)
             best_d2 = jnp.min(d2, axis=1)
-            cur_d2 = jnp.take_along_axis(d2, c[:, None], axis=1)[:, 0]
+            cur_c = cents_f[c]
+            cur_d2 = jnp.sum((p - cur_c) * (p - cur_c), axis=-1)
             new_b = jnp.where(best_d2 < cur_d2, best, c)
             onehot = (new_b[:, None] == kids[None, :]).astype(jnp.bfloat16)
             sums_b = jnp.dot(onehot.T, f, preferred_element_type=jnp.float32)
