@@ -65,6 +65,11 @@ def _load() -> ctypes.CDLL:
         lib.approx_rle_encode.argtypes = [u8p, i64, ctypes.c_double, u8p, u8p]
         lib.approx_rle_encode.restype = i64
 
+        lib.rgb_frame.argtypes = [u8p, i64, u8p]
+        lib.rgb_frame.restype = None
+        lib.rgb_unframe.argtypes = [u8p, i64, u8p]
+        lib.rgb_unframe.restype = ctypes.c_int
+
         lib.hist_u32.argtypes = [ctypes.POINTER(ctypes.c_uint32), i64,
                                  ctypes.POINTER(ctypes.c_uint32),
                                  ctypes.POINTER(i64), i32p]
@@ -168,6 +173,25 @@ def hist_u32(keys: np.ndarray):
     if u < 0:
         raise MemoryError("hist_u32 failed")
     return uniq[:u].copy(), counts[:u].copy(), inverse
+
+
+def rgb_frame(rgb: np.ndarray) -> np.ndarray:
+    """(N, 3) uint8 -> (N*11,) uint8 of 11-byte Rgb wire records."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1, 3)
+    out = np.empty(rgb.shape[0] * 11, dtype=np.uint8)
+    lib.rgb_frame(_as_u8p(rgb), rgb.shape[0], _as_u8p(out))
+    return out
+
+
+def rgb_unframe(framed: np.ndarray, count: int) -> np.ndarray:
+    """Inverse of rgb_frame; validates every length prefix."""
+    lib = _load()
+    framed = np.ascontiguousarray(framed, dtype=np.uint8)
+    out = np.empty((count, 3), dtype=np.uint8)
+    if lib.rgb_unframe(_as_u8p(framed), count, _as_u8p(out)) != 0:
+        raise ValueError("corrupt Rgb length prefix in pixel stream")
+    return out
 
 
 def huf_lengths(freqs_sorted_asc: np.ndarray) -> np.ndarray:

@@ -759,6 +759,37 @@ EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
 }
 
 /* ------------------------------------------------------------------ */
+/* 11-byte Rgb wire framing (ser.rs:210-222 quirk), hot on zip paths   */
+/* ------------------------------------------------------------------ */
+
+/* rgb: n*3 bytes -> out: n*11 bytes of [03 00 00 00 00 00 00 00 R G B] */
+EXPORT void rgb_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
+    static const uint8_t prefix[8] = {3, 0, 0, 0, 0, 0, 0, 0};
+    for (int64_t i = 0; i < n; i++) {
+        memcpy(out, prefix, 8);
+        out[8] = rgb[0];
+        out[9] = rgb[1];
+        out[10] = rgb[2];
+        out += 11;
+        rgb += 3;
+    }
+}
+
+/* inverse; returns 0, or -1 if any length prefix is corrupt */
+EXPORT int rgb_unframe(const uint8_t *framed, int64_t n, uint8_t *rgb) {
+    static const uint8_t prefix[8] = {3, 0, 0, 0, 0, 0, 0, 0};
+    for (int64_t i = 0; i < n; i++) {
+        if (memcmp(framed, prefix, 8) != 0) return -1;
+        rgb[0] = framed[8];
+        rgb[1] = framed[9];
+        rgb[2] = framed[10];
+        framed += 11;
+        rgb += 3;
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
 /* u32 key histogram: LSD radix sort + boundary pass                   */
 /* ------------------------------------------------------------------ */
 

@@ -149,14 +149,12 @@ def rgb_stream_to_wire(pixels: np.ndarray) -> np.ndarray:
     """Frame an (N, 3) uint8 pixel stream as N×11-byte Rgb records.
 
     Mirrors ``SerStream`` over pixels (zipc.rs:17-19): each pixel costs 11
-    bytes on the wire (the ser.rs:210-222 quirk).
+    bytes on the wire (the ser.rs:210-222 quirk). Native framing loop
+    (several times faster than strided numpy writes on this host).
     """
-    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
-    n = pixels.shape[0]
-    out = np.empty((n, RGB_WIRE_SIZE), dtype=np.uint8)
-    out[:, :8] = np.frombuffer(_RGB_PREFIX, dtype=np.uint8)
-    out[:, 8:] = pixels
-    return out.reshape(-1)
+    from . import native
+
+    return native.rgb_frame(np.ascontiguousarray(pixels, dtype=np.uint8))
 
 
 def wire_to_rgb_stream(data: np.ndarray, count: int | None = None) -> np.ndarray:
@@ -166,11 +164,12 @@ def wire_to_rgb_stream(data: np.ndarray, count: int | None = None) -> np.ndarray
         if data.size % RGB_WIRE_SIZE:
             raise WireError(f"stream size {data.size} is not a multiple of {RGB_WIRE_SIZE}")
         count = data.size // RGB_WIRE_SIZE
-    recs = data[: count * RGB_WIRE_SIZE].reshape(count, RGB_WIRE_SIZE)
-    prefix = np.frombuffer(_RGB_PREFIX, dtype=np.uint8)
-    if not np.array_equal(recs[:, :8], np.broadcast_to(prefix, (count, 8))):
-        raise WireError("corrupt Rgb length prefix in pixel stream")
-    return recs[:, 8:].copy()
+    from . import native
+
+    try:
+        return native.rgb_unframe(data[: count * RGB_WIRE_SIZE], count)
+    except ValueError as e:
+        raise WireError(str(e))
 
 
 def i16_triplets_to_wire(vals: np.ndarray) -> np.ndarray:
