@@ -71,28 +71,36 @@ def main() -> int:
     for spec, side, n_imgs in SUITE:
         codec = from_spec(spec)
         imgs = [synth_image(rng, side, side) for _ in range(n_imgs)]
-        try:
-            # warmup (jit compiles, native lib build, first-fetch toll) at
-            # the exact batch shape so the timed run hits warm caches
-            codec.encode_batch(imgs)
+        ok = False
+        for attempt in range(3):  # the tunneled device throws transient errors
+            try:
+                # warmup (jit compiles, native lib build, first-fetch toll)
+                # at the exact batch shape so the timed run hits warm caches
+                codec.encode_batch(imgs)
 
-            t0 = time.perf_counter()
-            blobs = codec.encode_batch(imgs)
-            enc_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                blobs = codec.encode_batch(imgs)
+                enc_s = time.perf_counter() - t0
 
-            mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
-            mps = mp / enc_s
+                mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+                mps = mp / enc_s
 
-            # round-trip check on the first image
-            dec = codec.decode(blobs[0])
-            err = compute_error(imgs[0], dec)
-            if codec.is_lossless and err != 0.0:
-                print(f"FATAL: {codec.name} lossless round-trip failed (MSE={err})", file=sys.stderr)
-                return 1
-        except Exception as e:  # a failed codec flags but doesn't kill the bench
-            failures[codec.name] = repr(e)[:200]
-            details.append(f"{codec.name}: FAILED {e!r}")
+                # round-trip check on the first image
+                dec = codec.decode(blobs[0])
+                err = compute_error(imgs[0], dec)
+                if codec.is_lossless and err != 0.0:
+                    print(f"FATAL: {codec.name} lossless round-trip failed (MSE={err})", file=sys.stderr)
+                    return 1
+                ok = True
+                break
+            except Exception as e:
+                failures[codec.name] = repr(e)[:200]
+                print(f"{codec.name}: attempt {attempt + 1} failed: {e!r}", file=sys.stderr)
+                time.sleep(20)
+        if not ok:  # a failed codec flags but doesn't kill the bench
+            details.append(f"{codec.name}: FAILED {failures[codec.name]}")
             continue
+        failures.pop(codec.name, None)
         per_codec[codec.name] = mps
         ratio = len(blobs[0]) / (side * side * 24) * 100
         details.append(f"{codec.name}: {mps:.2f} MP/s, ratio {ratio:.3f}%, MSE {err:.1f}")
