@@ -108,7 +108,7 @@ def main(argv=None) -> int:
         res = runner.measure_all(codec, files, batch=batch, resume=resume)
         print(f"{codec.name}: {len(res.rows)} images ok, {len(res.failures)} failed; "
               f"mean ratio {res.mean_ratio:.3f}%, mean MSE {res.mean_error:.3f}; "
-              f"encode {res.encode_mps:.2f} MP/s")
+              f"encode {res.encode_mps:.3f} MP/s")
         return 0 if not res.failures else 2
 
     print(USAGE, file=sys.stderr)
