@@ -43,7 +43,7 @@ log = logging.getLogger(__name__)
 _BLOCK = 16384
 
 
-def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int):
+def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp: int, wp: int):
     """One assign+update step. Shapes: pts [n_pad, d] (f32 / int32),
     w int32[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
     cents_f f32[k, d].
@@ -59,11 +59,13 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int):
     nb = n_pad // bs
     kids = jnp.arange(k, dtype=jnp.int32)
 
-    # digit planes of the weighted values + the weights themselves
+    # digit planes of the weighted values + the weights themselves; the
+    # static plane counts (vp, wp) come from the caller's value bounds so
+    # the stats matmul carries no all-zero columns
     prod = pts_i * w[:, None]  # int32, bounded by the caller
-    cols = [(prod >> s) & 0xFF for s in (24, 16, 8, 0)]
-    wcols = [((w >> s) & 0xFF)[:, None] for s in (24, 16, 8, 0)]
-    feats = jnp.concatenate(cols + wcols, axis=1).astype(jnp.bfloat16)  # (n, 4d+4)
+    cols = [(prod >> (8 * i)) & 0xFF for i in reversed(range(vp))]
+    wcols = [((w >> (8 * i)) & 0xFF)[:, None] for i in reversed(range(wp))]
+    feats = jnp.concatenate(cols + wcols, axis=1).astype(jnp.bfloat16)  # (n, vp*d+wp)
 
     def block(args):
         p, c, f = args
@@ -88,18 +90,19 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int):
     new, sums_blocks = jax.lax.map(
         block,
         (pts_f.reshape(nb, bs, d), cur.reshape(nb, bs),
-         feats.reshape(nb, bs, 4 * d + 4)),
+         feats.reshape(nb, bs, vp * d + wp)),
     )
     new = jnp.where(valid, new.reshape(-1), 0)
     moved = jnp.sum((new != cur).astype(jnp.int32), dtype=jnp.int32)
-    sums = jnp.sum(sums_blocks, axis=0, dtype=jnp.int32)  # (k, 4d+4)
+    sums = jnp.sum(sums_blocks, axis=0, dtype=jnp.int32)  # (k, vp*d+wp)
 
-    wsum = sums[:, 4 * d] * 256 ** 3 + sums[:, 4 * d + 1] * 256 ** 2 \
-        + sums[:, 4 * d + 2] * 256 + sums[:, 4 * d + 3]
+    wsum = jnp.zeros((k,), jnp.int32)
+    for i in range(wp):
+        wsum = wsum * 256 + sums[:, vp * d + i]
     denom = jnp.maximum(wsum, 1)[:, None]
     rem = jnp.zeros((k, d), jnp.int32)
     out = jnp.zeros((k, d), jnp.int32)
-    for i in range(4):
+    for i in range(vp):
         cur_v = rem * 256 + sums[:, i * d : (i + 1) * d]
         q = cur_v // denom
         rem = cur_v - q * denom
@@ -117,8 +120,8 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int):
     return new, cents_i, empty, moved
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs"))
-def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int, bs: int = _BLOCK):
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp"))
+def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4, wp: int = 4):
     """Iterate fully on device until no point moves or the burst cap (empty
     clusters are repaired in-iteration). Returns the last move count."""
 
@@ -129,7 +132,8 @@ def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters
     def body(state):
         it, cur, cents_i, _ = state
         new, cents_new, empty, moved = _iteration(
-            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k, it, n, bs)
+            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k, it, n,
+            bs, vp, wp)
         return it + 1, new, cents_new, moved
 
     # do-while: seed with moved=1
@@ -172,6 +176,10 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     # bigger blocks amortize per-step dispatch overhead; cap the distance
     # tile at ~32MB (bs * k * 4B)
     bs = 65536 if k <= 512 else _BLOCK
+    max_w = 1 if weights is None else max(int(np.max(weights)), 1)
+    max_prod = int(points.max(initial=0)) * max_w
+    vp = max(1, (max_prod.bit_length() + 7) // 8)
+    wp = max(1, (max_w.bit_length() + 7) // 8)
     n_pad = -(-n // bs) * bs
     pts_i = np.zeros((n_pad, d), dtype=np.int32)
     pts_i[:n] = points
@@ -213,7 +221,7 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     while it < max_iters:
         it_dev, cur_dev, cents_dev, moved = _kmeans_loop(
             pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, n_dev,
-            jnp.int32(it), k, burst, bs)
+            jnp.int32(it), k, burst, bs, vp, wp)
         it = int(it_dev)
         moved = int(moved)
         if moved <= max(n >> 10, 0):  # < 0.1% of points still moving
