@@ -24,7 +24,7 @@ _lib = None
 
 
 def _build() -> None:
-    cmd = [
+    base = [
         os.environ.get("CC", "cc"),
         "-O3",
         "-fPIC",
@@ -35,7 +35,14 @@ def _build() -> None:
         _SRC,
         "-lm",
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native unlocks the AVX2 candidate pre-filter in the zip-back
+    # scan; the library is built per machine, so native codegen is safe.
+    # Fall back to the portable build if the compiler rejects the flag.
+    try:
+        subprocess.run(base[:2] + ["-march=native"] + base[2:], check=True,
+                       capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
 
 
 def _load() -> ctypes.CDLL:

@@ -32,6 +32,10 @@
 #include <string.h>
 #include <math.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #ifdef _WIN32
 #define EXPORT __declspec(dllexport)
 #else
@@ -453,7 +457,7 @@ EXPORT int zip_dict_decode(const uint8_t *in, int64_t n,
 #define ZB_MAXLEN 32767          /* 15-bit length field (back.rs:44-49) */
 
 typedef struct {
-    int64_t *pos;
+    int32_t *pos;   /* int32: zip streams are guarded < 2^31 bytes */
     int64_t len, cap;
     int64_t head;   /* lazily advanced past aged-out entries */
 } PosVec;
@@ -461,26 +465,28 @@ typedef struct {
 typedef struct {
     Map map;        /* key -> (vec index in pool, unused) */
     PosVec *pool;
-    int64_t pool_len, pool_cap;
+    int64_t pool_used;  /* vecs live in the current generation */
+    int64_t pool_hi;    /* vecs ever allocated (buffers reused across clears) */
+    int64_t pool_cap;
 } Gen;
 
 static int gen_init(Gen *g) {
     if (!map_init(&g->map, 1 << 14)) return 0;
     g->pool_cap = 1024;
     g->pool = (PosVec *)malloc((size_t)g->pool_cap * sizeof(PosVec));
-    g->pool_len = 0;
+    g->pool_used = 0;
+    g->pool_hi = 0;
     return g->pool != NULL;
 }
 
 static void gen_clear(Gen *g) {
-    for (int64_t i = 0; i < g->pool_len; i++) free(g->pool[i].pos);
-    g->pool_len = 0;
+    g->pool_used = 0; /* position buffers stay allocated for the next gen */
     memset(g->map.slots, 0, (size_t)g->map.cap * sizeof(MapSlot));
     g->map.count = 0;
 }
 
 static void gen_destroy(Gen *g) {
-    for (int64_t i = 0; i < g->pool_len; i++) free(g->pool[i].pos);
+    for (int64_t i = 0; i < g->pool_hi; i++) free(g->pool[i].pos);
     free(g->pool);
     map_destroy(&g->map);
 }
@@ -489,28 +495,31 @@ static int gen_add(Gen *g, uint64_t key, int64_t position) {
     int64_t s = map_slot(&g->map, key, 1, -1, -1);
     if (s < -1) return 0;
     if (g->map.slots[s].v0 < 0) {
-        if (g->pool_len == g->pool_cap) {
+        if (g->pool_used == g->pool_cap) {
             g->pool_cap *= 2;
             PosVec *np = (PosVec *)realloc(g->pool, (size_t)g->pool_cap * sizeof(PosVec));
             if (!np) return 0;
             g->pool = np;
         }
-        PosVec *v = &g->pool[g->pool_len];
-        v->cap = 4;
+        PosVec *v = &g->pool[g->pool_used];
+        if (g->pool_used == g->pool_hi) { /* fresh entry: allocate its buffer */
+            v->cap = 8;
+            v->pos = (int32_t *)malloc((size_t)v->cap * sizeof(int32_t));
+            if (!v->pos) return 0;
+            g->pool_hi++;
+        }
         v->len = 0;
         v->head = 0;
-        v->pos = (int64_t *)malloc(4 * sizeof(int64_t));
-        if (!v->pos) return 0;
-        g->map.slots[s].v0 = (int32_t)g->pool_len++;
+        g->map.slots[s].v0 = (int32_t)g->pool_used++;
     }
     PosVec *v = &g->pool[g->map.slots[s].v0];
     if (v->len == v->cap) {
         v->cap *= 2;
-        int64_t *np = (int64_t *)realloc(v->pos, (size_t)v->cap * sizeof(int64_t));
+        int32_t *np = (int32_t *)realloc(v->pos, (size_t)v->cap * sizeof(int32_t));
         if (!np) return 0;
         v->pos = np;
     }
-    v->pos[v->len++] = position;
+    v->pos[v->len++] = (int32_t)position;
     return 1;
 }
 
@@ -527,20 +536,23 @@ static PosVec *gen_get(Gen *g, uint64_t key) {
  * ring storage, no per-byte modulo. Only the index positions need aging. */
 typedef struct {
     const uint8_t *in;
+    int64_t n;       /* full input length (key helpers avoid tail overreads) */
     int64_t total;   /* bytes committed to history so far (== input prefix) */
     Gen old_gen, new_gen;     /* 6-byte keys: oldest-valid candidate lookup */
     Gen old_gen7, new_gen7;   /* 7-byte keys: the >=7-length scan subset */
 } History;
 
-static inline uint64_t key7(const uint8_t *p) {
-    uint64_t k = 0;
-    for (int i = 0; i < ZB_MINREP + 1; i++) k = (k << 8) | p[i];
-    return k;
-}
-
-static inline uint64_t key6(const uint8_t *p) {
-    uint64_t k = 0;
-    for (int i = 0; i < ZB_MINREP; i++) k = (k << 8) | p[i];
+/* Prefix keys as a single little-endian load + mask (the key value is an
+ * opaque map key: only insert/query consistency matters). The byte-fold
+ * fallback keeps the last <8 bytes of the stream off the fast path. */
+static inline uint64_t keyat(const uint8_t *in, int64_t n, int64_t p, int bytes) {
+    uint64_t k;
+    if (p + 8 <= n) {
+        memcpy(&k, in + p, 8);
+        return k & (~0ULL >> (8 * (8 - bytes)));
+    }
+    k = 0;
+    for (int i = bytes - 1; i >= 0; i--) k = (k << 8) | in[p + i];
     return k;
 }
 
@@ -548,15 +560,25 @@ static inline uint64_t key6(const uint8_t *p) {
  * exactly as the reference does per byte (back.rs:538-559). */
 static int hist_commit(History *h, int64_t count) {
     const uint8_t *in = h->in;
+    const int64_t n = h->n;
     for (int64_t c = 0; c < count; c++) {
         int64_t q = h->total++;
+        if (c + 1 < count && q >= ZB_MINREP) {
+            /* hide the next byte's map-probe cache misses (pure hint) */
+            uint64_t nk6 = keyat(in, n, q - ZB_MINREP + 2, ZB_MINREP);
+            uint64_t nk7 = keyat(in, n, q - ZB_MINREP + 1, ZB_MINREP + 1);
+            Map *m6 = &h->new_gen.map;
+            Map *m7 = &h->new_gen7.map;
+            __builtin_prefetch(&m6->slots[hash64(nk6 + 1) & (uint64_t)(m6->cap - 1)]);
+            __builtin_prefetch(&m7->slots[hash64(nk7 + 1) & (uint64_t)(m7->cap - 1)]);
+        }
         if (q >= ZB_MINREP - 1) {
             int64_t p = q - (ZB_MINREP - 1);
-            if (!gen_add(&h->new_gen, key6(in + p), p)) return 0;
+            if (!gen_add(&h->new_gen, keyat(in, n, p, ZB_MINREP), p)) return 0;
         }
         if (q >= ZB_MINREP) {
             int64_t p = q - ZB_MINREP;
-            if (!gen_add(&h->new_gen7, key7(in + p), p)) return 0;
+            if (!gen_add(&h->new_gen7, keyat(in, n, p, ZB_MINREP + 1), p)) return 0;
         }
         if (q % ZB_RING == 0 && h->new_gen.map.count > 0) {
             /* wrap-around: age the generations. Every dropped entry is
@@ -575,27 +597,112 @@ static int hist_commit(History *h, int64_t count) {
     return 1;
 }
 
-/* Longest match of in[pos..n) against the history window, searched via the
- * 6-byte prefix index; first strictly-longer candidate wins
- * (back.rs:253-277). Returns length; *back_out = distance from the head. */
+/* Match extension past the 7 bytes guaranteed by the exact 7-byte key. */
+static inline int64_t match_extend(const uint8_t *a, const uint8_t *c, int64_t lim) {
+    int64_t l = ZB_MINREP + 1;
+    while (l + 8 <= lim) {
+        uint64_t xa, xc;
+        memcpy(&xa, a + l, 8);
+        memcpy(&xc, c + l, 8);
+        if (xa != xc) return l + (int64_t)(__builtin_ctzll(xa ^ xc) >> 3);
+        l += 8;
+    }
+    while (l < lim && a[l] == c[l]) l++;
+    return l;
+}
+
 /* Longest match with the reference's winner rule (first strictly-longer
  * candidate in ascending-position order, back.rs:253-277), computed via two
  * exact shortcuts:
  *   - any candidate capable of a match >= 7 shares the query's 7-byte
- *     prefix, so only the (usually tiny) 7-key subset is scanned in full;
- *     within it the global position order is preserved, so the winner for
- *     any max >= 7 is identical to the full 6-key scan's;
+ *     prefix, so only that exact-key subset is scanned in full; within it
+ *     the global position order is preserved, so the winner for any max >= 7
+ *     is identical to the full 6-key scan's. The scan itself pre-filters
+ *     8 candidates at a time (AVX2 gather of the byte each one must match
+ *     at best_len to improve — the overwhelmingly common reject);
  *   - if the 7-subset yields nothing, every valid 6-key candidate matches
  *     exactly min(6, lim), so the winner is the oldest valid one — found in
  *     O(1) amortized via a lazily-advanced head pointer (positions are
- *     inserted in ascending order, so aged entries form a prefix). */
+ *     inserted in ascending order, so aged entries form a prefix). The
+ *     6-level is only consulted on that fallback path. */
 static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
                           int64_t *back_out) {
     if (n - pos < ZB_MINREP) return 0;
-    int64_t window_start = h->total > ZB_RING ? h->total - ZB_RING : 0;
+    const int64_t total = h->total;
+    int64_t window_start = total > ZB_RING ? total - ZB_RING : 0;
+    int64_t qcap = n - pos < ZB_MAXLEN ? n - pos : ZB_MAXLEN;
 
-    /* oldest valid 6-key candidate */
-    uint64_t k6 = key6(in + pos);
+    int64_t best_len = ZB_MINREP; /* sentinel: only matches >= 7 update it */
+    int64_t best_pos = -1;
+    const uint8_t *qa = in + pos;
+
+    if (n - pos >= ZB_MINREP + 1) {
+        uint64_t k7 = keyat(in, n, pos, ZB_MINREP + 1);
+        Gen *gens7[2] = {&h->old_gen7, &h->new_gen7};
+        for (int gi = 0; gi < 2; gi++) {
+            PosVec *v = gen_get(gens7[gi], k7);
+            if (!v) continue;
+            while (v->head < v->len && v->pos[v->head] < window_start) v->head++;
+            const int32_t *pp = v->pos;
+            int64_t i = v->head, len = v->len;
+#if defined(__AVX2__)
+            const __m256i vff = _mm256_set1_epi32(0xFF);
+            while (i + 8 <= len) {
+                if (best_len >= qcap) break;
+                /* the dword gather reads in[cand+best_len .. +4): bail to
+                 * the scalar tail once candidates get that close to n */
+                if ((int64_t)pp[i + 7] + best_len + 4 > n) break;
+                __m256i vqb = _mm256_set1_epi32(qa[best_len]);
+                __m256i vcut = _mm256_set1_epi32((int32_t)(total - best_len));
+                __m256i vpos = _mm256_loadu_si256((const __m256i *)(pp + i));
+                __m256i g = _mm256_i32gather_epi32((const int *)(in + best_len), vpos, 1);
+                __m256i beq = _mm256_cmpeq_epi32(_mm256_and_si256(g, vff), vqb);
+                __m256i vlt = _mm256_cmpgt_epi32(vcut, vpos); /* lim > best_len */
+                int m = _mm256_movemask_ps(_mm256_castsi256_ps(_mm256_and_si256(beq, vlt)));
+                while (m) { /* pre-filter only: lanes re-validated exactly */
+                    int lane = __builtin_ctz((unsigned)m);
+                    m &= m - 1;
+                    int64_t cand = pp[i + lane];
+                    int64_t lim = total - cand;
+                    if (lim > qcap) lim = qcap;
+                    if (lim <= best_len) continue;
+                    if (in[cand + best_len] != qa[best_len]) continue;
+                    int64_t l = match_extend(qa, in + cand, lim);
+                    if (l > best_len) {
+                        best_len = l;
+                        best_pos = cand;
+                    }
+                }
+                i += 8;
+            }
+#endif
+            for (; i < len; i++) {
+                if (best_len >= qcap) break;
+                int64_t cand = pp[i];
+                int64_t lim = total - cand; /* no run past history end */
+                if (lim > qcap) lim = qcap;
+                if (lim <= best_len) continue;
+                /* quick reject: to beat best_len the (best_len+1)-prefix
+                 * must match, so the byte at best_len must */
+                if (in[cand + best_len] != qa[best_len]) continue;
+                int64_t l = match_extend(qa, in + cand, lim);
+                if (l > best_len) {
+                    best_len = l;
+                    best_pos = cand;
+                }
+            }
+        }
+    }
+    if (best_pos >= 0) {
+        *back_out = total - best_pos;
+        return best_len;
+    }
+
+    /* no >=7 match: the winner (if any) is the oldest valid 6-key candidate
+     * at exactly MIN_REP (a valid 7-key candidate is always also a 6-key
+     * candidate, so the early no-candidate exit below is unchanged from a
+     * full 6-then-7 scan) */
+    uint64_t k6 = keyat(in, n, pos, ZB_MINREP);
     int64_t first6 = -1;
     Gen *gens6[2] = {&h->old_gen, &h->new_gen};
     for (int gi = 0; gi < 2 && first6 < 0; gi++) {
@@ -604,65 +711,25 @@ static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
         while (v->head < v->len && v->pos[v->head] < window_start) v->head++;
         if (v->head < v->len) first6 = v->pos[v->head];
     }
-    if (first6 < 0 || h->total - first6 < ZB_MINREP) {
+    if (first6 < 0 || total - first6 < ZB_MINREP) {
         /* no candidate can reach MIN_REP (positions ascend, so the oldest
          * valid one has the largest history headroom); the caller discards
          * sub-MIN_REP results either way (back.rs:190-199) */
         *back_out = 0;
         return 0;
     }
-    int64_t best_len = ZB_MINREP;
-    int64_t best_back = h->total - first6;
-
-    if (n - pos >= ZB_MINREP + 1) {
-        uint64_t k7 = key7(in + pos);
-        Gen *gens7[2] = {&h->old_gen7, &h->new_gen7};
-        for (int gi = 0; gi < 2; gi++) {
-            PosVec *v = gen_get(gens7[gi], k7);
-            if (!v) continue;
-            while (v->head < v->len && v->pos[v->head] < window_start) v->head++;
-            for (int64_t i = v->head; i < v->len; i++) {
-                int64_t cand = v->pos[i];
-                int64_t lim = h->total - cand; /* no run past history end */
-                if (n - pos < lim) lim = n - pos;
-                if (lim > ZB_MAXLEN) lim = ZB_MAXLEN;
-                if (lim <= best_len) continue;
-                /* quick reject: to beat best_len the (best_len+1)-prefix
-                 * must match, so the byte at best_len must */
-                if (in[cand + best_len] != in[pos + best_len]) continue;
-                const uint8_t *a = in + pos, *c = in + cand;
-                int64_t l = ZB_MINREP + 1; /* first 7 bytes match by key */
-                while (l + 8 <= lim) {
-                    uint64_t xa, xc;
-                    memcpy(&xa, a + l, 8);
-                    memcpy(&xc, c + l, 8);
-                    if (xa != xc) {
-                        uint64_t diff = xa ^ xc;
-                        l += (int64_t)(__builtin_ctzll(diff) >> 3);
-                        goto done;
-                    }
-                    l += 8;
-                }
-                while (l < lim && a[l] == c[l]) l++;
-            done:
-                if (l > lim) l = lim;
-                if (l > best_len) {
-                    best_len = l;
-                    best_back = h->total - cand;
-                }
-            }
-        }
-    }
-    *back_out = best_back;
-    return best_len;
+    *back_out = total - first6;
+    return ZB_MINREP;
 }
 
 EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
                            uint8_t **out, int64_t *out_len) {
+    if (n >= ((int64_t)1 << 31) - 16) return -1; /* int32 index positions */
     History *h = (History *)calloc(1, sizeof(History));
     Buf b;
     if (!h) return -1;
     h->in = in;
+    h->n = n;
     if (!gen_init(&h->old_gen) || !gen_init(&h->new_gen) ||
         !gen_init(&h->old_gen7) || !gen_init(&h->new_gen7) ||
         !buf_init(&b, n / 2 + 64)) {
