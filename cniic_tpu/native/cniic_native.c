@@ -289,22 +289,105 @@ static int map_grow(Map *m) {
 
 #define ZIP_EOF 0xffffu
 
+/* Node-major trie storage, mirroring the shape of the reference's hybrid
+ * TrieMap (dict.rs:442-553): per node a linear-scanned (key byte, edge)
+ * list up to DT_THRESHOLD entries, then promoted to a direct 256-entry
+ * array. Hot top-of-trie nodes stay cache-resident and dense nodes are
+ * direct-indexed, unlike a flat (node, byte)->edge hash map whose probes
+ * miss on every descent step. Storage only — match results are identical. */
+#define DT_THRESHOLD 64
+
+typedef struct { int32_t code, child; } DEdge; /* -1 = absent */
+
 typedef struct {
-    Map edges;      /* key = node*256+byte -> (value symbol | -1, child | -1) */
-    int32_t n_nodes;
+    uint8_t *k;   /* partial: len key bytes; NULL once promoted to full */
+    DEdge *e;     /* partial: len edges; full: 256 direct-indexed edges */
+    int32_t len, cap;
+} DNode;
+
+typedef struct {
+    DNode *nodes;
+    int32_t n_nodes, node_cap;
     uint32_t counter; /* next symbol code */
 } DictTrie;
 
-static int trie_init(DictTrie *t) {
-    if (!map_init(&t->edges, 1 << 16)) return 0;
-    t->n_nodes = 1; /* node 0 = root */
-    t->counter = 0;
-    /* 256 single-byte symbols (dict.rs:44-47) */
-    for (int b = 0; b < 256; b++) {
-        int64_t s = map_slot(&t->edges, (uint64_t)b, 1, (int32_t)t->counter, -1);
-        if (s < 0) return 0;
-        t->counter++;
+static int dnode_full(DictTrie *t, int32_t id) {
+    DNode *nd = &t->nodes[id];
+    DEdge *full = (DEdge *)malloc(256 * sizeof(DEdge));
+    if (!full) return 0;
+    for (int b = 0; b < 256; b++) { full[b].code = -1; full[b].child = -1; }
+    for (int32_t i = 0; i < nd->len; i++) full[nd->k[i]] = nd->e[i];
+    free(nd->k);
+    free(nd->e);
+    nd->k = NULL;
+    nd->e = full;
+    nd->len = 256;
+    nd->cap = 256;
+    return 1;
+}
+
+/* Edge for (node, byte); created (absent code/child) when create != 0. */
+static DEdge *dnode_edge(DictTrie *t, int32_t id, uint8_t b, int create) {
+    DNode *nd = &t->nodes[id];
+    if (!nd->k && nd->e) return &nd->e[b]; /* full node: direct-indexed */
+    for (int32_t i = 0; i < nd->len; i++)
+        if (nd->k[i] == b) return &nd->e[i];
+    if (!create) return NULL;
+    if (nd->len == DT_THRESHOLD) {
+        if (!dnode_full(t, id)) return NULL;
+        return &t->nodes[id].e[b];
     }
+    if (nd->len == nd->cap) {
+        int32_t ncap = nd->cap ? nd->cap * 2 : 4;
+        uint8_t *nk = (uint8_t *)realloc(nd->k, (size_t)ncap);
+        if (!nk) return NULL;
+        nd->k = nk;
+        DEdge *ne = (DEdge *)realloc(nd->e, (size_t)ncap * sizeof(DEdge));
+        if (!ne) return NULL;
+        nd->e = ne;
+        nd->cap = ncap;
+    }
+    nd->k[nd->len] = b;
+    nd->e[nd->len].code = -1;
+    nd->e[nd->len].child = -1;
+    return &nd->e[nd->len++];
+}
+
+static int32_t dnode_new(DictTrie *t) {
+    if (t->n_nodes == t->node_cap) {
+        int32_t ncap = t->node_cap * 2;
+        DNode *nn = (DNode *)realloc(t->nodes, (size_t)ncap * sizeof(DNode));
+        if (!nn) return -1;
+        t->nodes = nn;
+        t->node_cap = ncap;
+    }
+    DNode *nd = &t->nodes[t->n_nodes];
+    nd->k = NULL;
+    nd->e = NULL;
+    nd->len = 0;
+    nd->cap = 0;
+    return t->n_nodes++;
+}
+
+static void trie_destroy(DictTrie *t) {
+    for (int32_t i = 0; i < t->n_nodes; i++) {
+        free(t->nodes[i].k);
+        free(t->nodes[i].e);
+    }
+    free(t->nodes);
+}
+
+static int trie_init(DictTrie *t) {
+    t->node_cap = 1024;
+    t->nodes = (DNode *)malloc((size_t)t->node_cap * sizeof(DNode));
+    if (!t->nodes) return 0;
+    t->n_nodes = 0;
+    t->counter = 0;
+    if (dnode_new(t) != 0) return 0; /* node 0 = root */
+    if (!dnode_full(t, 0)) return 0; /* root is dense by construction */
+    /* 256 single-byte symbols (dict.rs:44-47) */
+    for (int b = 0; b < 256; b++)
+        t->nodes[0].e[b].code = (int32_t)t->counter++;
     return 1;
 }
 
@@ -314,18 +397,22 @@ static int trie_init(DictTrie *t) {
 static int trie_insert(DictTrie *t, const uint8_t *seq, int64_t len, int32_t code) {
     int32_t node = 0;
     for (int64_t i = 0; i < len - 1; i++) {
-        uint64_t key = ((uint64_t)node << 8) | seq[i];
-        int64_t s = map_slot(&t->edges, key, 1, -1, -1);
-        if (s < 0) return 0;
-        if (t->edges.slots[s].v1 < 0) {
-            t->edges.slots[s].v1 = t->n_nodes++;
+        DEdge *ed = dnode_edge(t, node, seq[i], 1);
+        if (!ed) return 0;
+        if (ed->child < 0) {
+            /* dnode_new may realloc the DNode array, but ed points into the
+             * node's separately-allocated edge buffer, which doesn't move */
+            int32_t child = dnode_new(t);
+            if (child < 0) return 0;
+            ed->child = child;
+            node = child;
+        } else {
+            node = ed->child;
         }
-        node = t->edges.slots[s].v1;
     }
-    uint64_t key = ((uint64_t)node << 8) | seq[len - 1];
-    int64_t s = map_slot(&t->edges, key, 1, code, -1);
-    if (s < 0) return 0;
-    t->edges.slots[s].v0 = code; /* upsert: overwrite any previous code */
+    DEdge *ed = dnode_edge(t, node, seq[len - 1], 1);
+    if (!ed) return 0;
+    ed->code = code; /* upsert: overwrite any previous code */
     return 1;
 }
 
@@ -339,15 +426,23 @@ static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
     int64_t longest_end = pos;
     int64_t p = pos;
     while (p < n) {
-        uint64_t key = ((uint64_t)node << 8) | in[p];
-        int64_t s = map_slot(&t->edges, key, 0, 0, 0);
-        if (s < 0) break;
-        if (t->edges.slots[s].v0 >= 0) {
-            longest = t->edges.slots[s].v0;
+        const DNode *nd = &t->nodes[node];
+        const DEdge *ed;
+        if (!nd->k) {
+            if (!nd->e) break; /* fresh node: no edges yet */
+            ed = &nd->e[in[p]];
+        } else {
+            ed = NULL;
+            for (int32_t i = 0; i < nd->len; i++)
+                if (nd->k[i] == in[p]) { ed = &nd->e[i]; break; }
+            if (!ed) break;
+        }
+        if (ed->code >= 0) {
+            longest = ed->code;
             longest_end = p + 1;
         }
-        if (t->edges.slots[s].v1 < 0) break;
-        node = t->edges.slots[s].v1;
+        if (ed->child < 0) break;
+        node = ed->child;
         p++;
     }
     *end = longest_end;
@@ -358,8 +453,8 @@ EXPORT int zip_dict_encode(const uint8_t *in, int64_t n,
                            uint8_t **out, int64_t *out_len) {
     DictTrie t;
     Buf b;
-    if (!trie_init(&t)) return -1;
-    if (!buf_init(&b, n / 2 + 64)) { map_destroy(&t.edges); return -1; }
+    if (!trie_init(&t)) { trie_destroy(&t); return -1; }
+    if (!buf_init(&b, n / 2 + 64)) { trie_destroy(&t); return -1; }
 
     int64_t pos = 0;
     int ok = 1;
@@ -386,7 +481,7 @@ EXPORT int zip_dict_encode(const uint8_t *in, int64_t n,
         }
         pos = e2;
     }
-    map_destroy(&t.edges);
+    trie_destroy(&t);
     if (!ok) { free(b.data); return -1; }
     *out = b.data;
     *out_len = b.len;
