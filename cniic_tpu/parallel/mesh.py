@@ -58,10 +58,27 @@ def sharded_kmeans_step(mesh: Mesh, k: int, block: int = 1024):
         wcols = [((w >> s) & 0xFF)[:, None] for s in (24, 16, 8, 0)]
         feats = jnp.concatenate(cols + wcols, axis=1).astype(jnp.bfloat16)
 
+        # exact MXU cross term via base-32 hi/lo bf16 split (see
+        # ops/kmeans.py for the full exactness argument)
+        c_hi = jnp.floor(cents_f / 32.0)
+        c_lo = cents_f - c_hi * 32.0
+        csq = jnp.sum(cents_f * cents_f, axis=1)
+        c_mix = jnp.concatenate([c_lo, c_hi], axis=1)
+        bf = jnp.bfloat16
+
         def assign_block(args):
             p, c, f = args
-            diff = p[:, None, :] - cents_f[None, :, :]
-            d2 = jnp.sum(diff * diff, axis=-1)
+            p_hi = jnp.floor(p / 32.0)
+            p_lo = p - p_hi * 32.0
+            psq = jnp.sum(p * p, axis=1)
+            m_hh = jnp.dot(p_hi.astype(bf), c_hi.astype(bf).T,
+                           preferred_element_type=jnp.float32)
+            m_mix = jnp.dot(jnp.concatenate([p_hi, p_lo], axis=1).astype(bf),
+                            c_mix.astype(bf).T, preferred_element_type=jnp.float32)
+            m_ll = jnp.dot(p_lo.astype(bf), c_lo.astype(bf).T,
+                           preferred_element_type=jnp.float32)
+            pc = 1024.0 * m_hh + 32.0 * m_mix + m_ll
+            d2 = (psq[:, None] - pc) + (csq[None, :] - pc)
             best = jnp.argmin(d2, axis=1).astype(jnp.int32)
             best_d2 = jnp.min(d2, axis=1)
             cur_c = cents_f[c]
