@@ -44,7 +44,7 @@ log = logging.getLogger(__name__)
 _BLOCK = 16384
 
 
-def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp: int, wp: int):
+def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp: int, wp: int, pk: int):
     """One assign+update step. Shapes: pts [n_pad, d] (f32 / int32),
     w int32[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
     cents_f f32[k, d].
@@ -99,11 +99,22 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp:
                        preferred_element_type=jnp.float32)
         pc = 1024.0 * m_hh + 32.0 * m_mix + m_ll  # (bs, k) exact integers
         d2 = (psq[:, None] - pc) + (csq[None, :] - pc)
-        best = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        best_d2 = jnp.min(d2, axis=1)
         cur_c = cents_f[c]
         cur_d2 = jnp.sum((p - cur_c) * (p - cur_c), axis=-1)
-        new_b = jnp.where(best_d2 < cur_d2, best, c)
+        if pk:
+            # single packed min-reduce = argmin + min in one pass. pk is the
+            # next power of two >= k and the host guarantees
+            # d2_bound * pk < 2^31, so d2*pk + idx is an exact int32 whose
+            # min recovers (min d2, smallest index among ties) — the same
+            # first-index tie rule as argmin.
+            kidx = jnp.arange(k, dtype=jnp.int32)[None, :]
+            packed = jnp.min(d2.astype(jnp.int32) * pk + kidx, axis=1)
+            best = (packed % pk).astype(jnp.int32)
+            new_b = jnp.where(packed // pk < cur_d2.astype(jnp.int32), best, c)
+        else:
+            best = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            best_d2 = jnp.min(d2, axis=1)
+            new_b = jnp.where(best_d2 < cur_d2, best, c)
         onehot = (new_b[:, None] == kids[None, :]).astype(jnp.bfloat16)  # (bs, k)
         # exact: 0/1 x values<=255, block sums <= 255*bs < 2^24
         sums_b = jnp.dot(onehot.T, f, preferred_element_type=jnp.float32)
@@ -142,8 +153,8 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp:
     return new, cents_i, empty, moved
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp"))
-def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4, wp: int = 4):
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp", "pk"))
+def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4, wp: int = 4, pk: int = 0):
     """Iterate fully on device until no point moves or the burst cap (empty
     clusters are repaired in-iteration). Returns the last move count."""
 
@@ -155,7 +166,7 @@ def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters
         it, cur, cents_i, _ = state
         new, cents_new, empty, moved = _iteration(
             pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k, it, n,
-            bs, vp, wp)
+            bs, vp, wp, pk)
         return it + 1, new, cents_new, moved
 
     # do-while: seed with moved=1
@@ -203,6 +214,12 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     max_prod = int(points.max(initial=0)) * max_w
     vp = max(1, (max_prod.bit_length() + 7) // 8)
     wp = max(1, (max_w.bit_length() + 7) // 8)
+    # packed argmin+min single-reduce: exact only while d2*pk + idx fits
+    # int32 (d2 is bounded by the per-dim maxima; centroids are truncated
+    # means or stolen points, so they stay within the same per-dim ranges)
+    d2_bound = int(np.sum(points.max(axis=0, initial=0).astype(np.int64) ** 2))
+    pkc = 1 << max(k - 1, 0).bit_length()
+    pk = pkc if (d2_bound + 1) * pkc < 2**31 else 0
     n_pad = -(-n // bs) * bs
     pts_i = np.zeros((n_pad, d), dtype=np.int32)
     pts_i[:n] = points
@@ -244,7 +261,7 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     while it < max_iters:
         it_dev, cur_dev, cents_dev, moved = _kmeans_loop(
             pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, n_dev,
-            jnp.int32(it), k, burst, bs, vp, wp)
+            jnp.int32(it), k, burst, bs, vp, wp, pk)
         it = int(it_dev)
         moved = int(moved)
         if moved <= max(n >> 10, 0):  # < 0.1% of points still moving
