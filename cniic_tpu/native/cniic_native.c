@@ -391,36 +391,15 @@ static int trie_init(DictTrie *t) {
     return 1;
 }
 
-/* Insert seq -> code (dict.rs:308-323 semantics: value keyed on the last
- * byte edge; child nodes created for all but the last byte; existing values
- * are overwritten). */
-static int trie_insert(DictTrie *t, const uint8_t *seq, int64_t len, int32_t code) {
-    int32_t node = 0;
-    for (int64_t i = 0; i < len - 1; i++) {
-        DEdge *ed = dnode_edge(t, node, seq[i], 1);
-        if (!ed) return 0;
-        if (ed->child < 0) {
-            /* dnode_new may realloc the DNode array, but ed points into the
-             * node's separately-allocated edge buffer, which doesn't move */
-            int32_t child = dnode_new(t);
-            if (child < 0) return 0;
-            ed->child = child;
-            node = child;
-        } else {
-            node = ed->child;
-        }
-    }
-    DEdge *ed = dnode_edge(t, node, seq[len - 1], 1);
-    if (!ed) return 0;
-    ed->code = code; /* upsert: overwrite any previous code */
-    return 1;
-}
-
 /* Greedy longest-registered-prefix match starting at in[pos]
  * (dict.rs:96-137). Returns the symbol (or -1) and sets *end to one past the
- * matched sequence. */
+ * matched sequence. *hint receives the node owning the matched symbol's
+ * final edge, so a following insert of match+suffix can skip re-walking the
+ * match's path from the root (pure walk reuse: the edges it skips were just
+ * verified to exist, and child creation only ever happens at or past that
+ * final edge). */
 static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
-                         int64_t *end) {
+                         int64_t *end, int32_t *hint) {
     int32_t node = 0;
     int32_t longest = -1;
     int64_t longest_end = pos;
@@ -431,6 +410,7 @@ static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
         if (!nd->k) {
             if (!nd->e) break; /* fresh node: no edges yet */
             ed = &nd->e[in[p]];
+            if (ed->code < 0 && ed->child < 0) break; /* absent */
         } else {
             ed = NULL;
             for (int32_t i = 0; i < nd->len; i++)
@@ -440,6 +420,7 @@ static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
         if (ed->code >= 0) {
             longest = ed->code;
             longest_end = p + 1;
+            *hint = node;
         }
         if (ed->child < 0) break;
         node = ed->child;
@@ -447,6 +428,31 @@ static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
     }
     *end = longest_end;
     return longest;
+}
+
+/* Insert seq1+seq2 -> code where seq1 = in[s1_last] prefixed by the path to
+ * *hint (from trie_find): the walk resumes at the matched symbol's final
+ * edge instead of the root. Identical trie mutations to trie_insert over
+ * the concatenated sequence. */
+static int trie_insert_hint(DictTrie *t, int32_t hint, const uint8_t *in,
+                            int64_t s1_last, int64_t e2, int32_t code) {
+    int32_t node = hint;
+    for (int64_t i = s1_last; i < e2 - 1; i++) {
+        DEdge *ed = dnode_edge(t, node, in[i], 1);
+        if (!ed) return 0;
+        if (ed->child < 0) {
+            int32_t child = dnode_new(t);
+            if (child < 0) return 0;
+            ed->child = child;
+            node = child;
+        } else {
+            node = ed->child;
+        }
+    }
+    DEdge *ed = dnode_edge(t, node, in[e2 - 1], 1);
+    if (!ed) return 0;
+    ed->code = code;
+    return 1;
 }
 
 EXPORT int zip_dict_encode(const uint8_t *in, int64_t n,
@@ -460,9 +466,10 @@ EXPORT int zip_dict_encode(const uint8_t *in, int64_t n,
     int ok = 1;
     while (pos < n) {
         int64_t e1, e2;
-        int32_t s1 = trie_find(&t, in, n, pos, &e1);
+        int32_t h1 = 0, h2 = 0;
+        int32_t s1 = trie_find(&t, in, n, pos, &e1, &h1);
         if (s1 < 0) break; /* only possible when input exhausted */
-        int32_t s2 = trie_find(&t, in, n, e1, &e2);
+        int32_t s2 = trie_find(&t, in, n, e1, &e2, &h2);
         if (s2 < 0) {
             /* odd symbol count: EOF marker (dict.rs:81-86) */
             ok = buf_push_u16le(&b, (uint16_t)s1) && buf_push_u16le(&b, ZIP_EOF);
@@ -474,9 +481,9 @@ EXPORT int zip_dict_encode(const uint8_t *in, int64_t n,
             break;
         }
         /* register concat(seq1, seq2) = in[pos..e2) while codes remain
-         * (dict.rs:52-62, 90-92) */
+         * (dict.rs:52-62, 90-92), resuming the walk at seq1's final edge */
         if (t.counter < ZIP_EOF) {
-            if (!trie_insert(&t, in + pos, e2 - pos, (int32_t)t.counter)) { ok = 0; break; }
+            if (!trie_insert_hint(&t, h1, in, e1 - 1, e2, (int32_t)t.counter)) { ok = 0; break; }
             t.counter++;
         }
         pos = e2;
