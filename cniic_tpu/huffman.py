@@ -142,7 +142,10 @@ def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
     u_pad = max(u_pad, 256) + 1  # +1: zero-length padding entry per image
 
     trees = []
-    ids = np.zeros((B, n_pad), dtype=np.int32)
+    # uint16 ids when every alphabet (incl. the per-image padding id u)
+    # fits: halves the dominant host->device transfer of the batch
+    id_dtype = np.uint16 if u_pad <= 0xFFFF else np.int32
+    ids = np.zeros((B, n_pad), dtype=id_dtype)
     codes = np.zeros((B, u_pad), dtype=np.uint64)
     lens = np.zeros((B, u_pad), dtype=np.uint32)
     with trace.span("huffman.trees"):

@@ -37,11 +37,14 @@ def pack_bits_numpy(codes: np.ndarray, lens: np.ndarray) -> bytes:
 def _pack_core(sym_ids, hi, lo, lens, n_words: int):
     """Core jitted packer.
 
-    sym_ids: int32[n] (padded entries must map to a zero-length code)
+    sym_ids: int32[n] or uint16[n] — the caller uploads uint16 when the
+    alphabet fits, halving the dominant host->device transfer (padded
+    entries must map to a zero-length code)
     hi/lo:   uint32[u+pad] split 64-bit canonical codes
     lens:    int32[u+pad]
     Returns (words uint32[n_words], total_bits int32).
     """
+    sym_ids = sym_ids.astype(jnp.int32)
     g_len = lens[sym_ids]
     g_hi = hi[sym_ids]
     g_lo = lo[sym_ids]
@@ -121,7 +124,8 @@ _pack_ids_batch = functools.partial(jax.jit, static_argnames=("n_words",))(
 def pack_bits_batch(ids: np.ndarray, codes: np.ndarray, lens: np.ndarray):
     """Pack B id streams against per-image codebooks in one device call.
 
-    ids int32[B, n_pad] (padding entries must index a zero-length code),
+    ids int32 or uint16 [B, n_pad] (padding entries must index a
+    zero-length code),
     codes uint64[B, u_pad], lens uint32[B, u_pad].
     Returns the list of padded byte strings.
     """
