@@ -153,6 +153,13 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp:
     return new, cents_i, empty, moved
 
 
+@jax.jit
+def _widen(pu, wu, cu):
+    """Widen the narrow uploaded arrays to the loop's working set on device."""
+    pi = pu.astype(jnp.int32)
+    return pi.astype(jnp.float32), pi, wu.astype(jnp.int32), cu.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp", "pk"))
 def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4, wp: int = 4, pk: int = 0):
     """Iterate fully on device until no point moves or the burst cap (empty
@@ -235,11 +242,17 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     cur = np.zeros(n_pad, dtype=np.int32)
     cur[:n] = assignment
 
-    pts_f = jnp.asarray(pts_i, dtype=jnp.float32)
-    pts_i_dev = jnp.asarray(pts_i)
-    w_dev = jnp.asarray(w)
+    # Narrow uploads (the tunnel link, ~35-50 MB/s, is a real cost at
+    # megapixel point counts): points as int16 (values are < 2048 per the
+    # exactness contract), weights as uint8 when they fit, the initial
+    # assignment as uint16; one tiny device program widens to the loop's
+    # int32/f32 working set so the burst-loop signature stays stable.
+    pts_up = pts_i.astype(np.int16) if int(points.max(initial=0)) <= 32767 else pts_i
+    w_up = w.astype(np.uint8) if max_w < 256 else w
+    cur_up = cur.astype(np.uint16) if k <= 65535 else cur
+    pts_f, pts_i_dev, w_dev, cur_dev = _widen(
+        jnp.asarray(pts_up), jnp.asarray(w_up), jnp.asarray(cur_up))
     valid_dev = jnp.asarray(valid)
-    cur_dev = jnp.asarray(cur)
     cents_dev = jnp.asarray(centroids)
 
     it = 0
