@@ -82,3 +82,39 @@ def test_stay_on_tie():
     pts = np.array([[5, 5], [5, 5]], np.int64)
     cents, assign, iters = kmeans.kmeans(pts, 2)
     assert iters <= 3
+
+
+def test_packed_argmin_matches_plain():
+    """The packed min-reduce (d2*pk + idx) must reproduce plain argmin's
+    assignments and centroids exactly, including first-index tie breaking."""
+    import cniic_tpu.ops.kmeans as km
+
+    rng = np.random.default_rng(11)
+    pts = np.column_stack([
+        rng.integers(0, 512, 4096),
+        rng.integers(0, 512, 4096),
+        rng.integers(0, 256, 4096),
+    ]).astype(np.int64)
+    # duplicate many points so distance ties between centroids are common
+    pts[2048:] = pts[:2048]
+
+    c1, a1, i1 = km.kmeans(pts, 16)
+
+    orig = km._kmeans_loop
+    # force the plain-argmin fallback by rebinding pk=0 at the loop call
+    # (the wrapper passes pk as the final positional argument)
+    def no_pack(*args, **kwargs):
+        if "pk" in kwargs:
+            kwargs["pk"] = 0
+        else:
+            args = args[:-1] + (0,)
+        return orig(*args, **kwargs)
+    km._kmeans_loop = no_pack
+    try:
+        c2, a2, i2 = km.kmeans(pts, 16)
+    finally:
+        km._kmeans_loop = orig
+
+    assert i1 == i2
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(c1, c2)
