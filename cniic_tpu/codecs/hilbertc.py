@@ -61,9 +61,10 @@ class Hilbert(Codec):
             framed = wire.rgb_stream_to_wire(scan)
             return header + native.zip_dict_encode(framed)
         if self.allow == 0.0:
-            counts, colors = rle_ops.rle_exact(scan)
-        else:
-            counts, colors = native.approx_rle_encode(scan, self.allow)
+            # fused C pass: RLE + record framing in one sweep (identical
+            # records to rle_ops.rle_exact + _records_to_bytes)
+            return header + native.rle_frame(scan)
+        counts, colors = native.approx_rle_encode(scan, self.allow)
         return header + _records_to_bytes(counts, colors)
 
     def decode(self, data) -> np.ndarray:

@@ -72,6 +72,9 @@ def _load() -> ctypes.CDLL:
         lib.approx_rle_encode.argtypes = [u8p, i64, ctypes.c_double, u8p, u8p]
         lib.approx_rle_encode.restype = i64
 
+        lib.rle_frame.argtypes = [u8p, i64, u8p]
+        lib.rle_frame.restype = i64
+
         lib.rgb_frame.argtypes = [u8p, i64, u8p]
         lib.rgb_frame.restype = None
         lib.rgb_unframe.argtypes = [u8p, i64, u8p]
@@ -180,6 +183,15 @@ def hist_u32(keys: np.ndarray):
     if u < 0:
         raise MemoryError("hist_u32 failed")
     return uniq[:u].copy(), counts[:u].copy(), inverse
+
+
+def rle_frame(rgb: np.ndarray) -> bytes:
+    """(N, 3) uint8 -> exact-RLE 12-byte records (count + 11-byte Rgb)."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1, 3)
+    out = np.empty(rgb.shape[0] * 12, dtype=np.uint8)
+    nbytes = lib.rle_frame(_as_u8p(rgb), rgb.shape[0], _as_u8p(out))
+    return out[:nbytes].tobytes()
 
 
 def rgb_frame(rgb: np.ndarray) -> np.ndarray:

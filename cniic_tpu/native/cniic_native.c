@@ -932,6 +932,36 @@ EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
 /* ------------------------------------------------------------------ */
 
 /* rgb: n*3 bytes -> out: n*11 bytes of [03 00 00 00 00 00 00 00 R G B] */
+/* Exact RLE over an RGB stream, emitting the reference's 12-byte records
+ * in one pass: u8 count + the 11-byte Rgb wire quirk (hilbertc.rs:115-196
+ * record loop with the count==255 cap, ser.rs:210-222 layout). Runs longer
+ * than 255 split as 255,...,remainder. out must hold 12*n bytes; returns
+ * the number of bytes written. */
+EXPORT int64_t rle_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
+    int64_t w = 0;
+    int64_t i = 0;
+    while (i < n) {
+        uint8_t r = rgb[3 * i], g = rgb[3 * i + 1], b = rgb[3 * i + 2];
+        int64_t j = i + 1;
+        while (j < n && rgb[3 * j] == r && rgb[3 * j + 1] == g && rgb[3 * j + 2] == b)
+            j++;
+        int64_t len = j - i;
+        while (len > 0) {
+            int64_t c = len > 255 ? 255 : len;
+            out[w] = (uint8_t)c;
+            out[w + 1] = 3;
+            memset(out + w + 2, 0, 7);
+            out[w + 9] = r;
+            out[w + 10] = g;
+            out[w + 11] = b;
+            w += 12;
+            len -= c;
+        }
+        i = j;
+    }
+    return w;
+}
+
 EXPORT void rgb_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
     static const uint8_t prefix[8] = {3, 0, 0, 0, 0, 0, 0, 0};
     for (int64_t i = 0; i < n; i++) {
