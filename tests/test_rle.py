@@ -68,3 +68,26 @@ def test_approx_rle_exact_run_cap():
     counts, colors = native.approx_rle_encode(pixels, 1.0)
     assert counts.tolist() == [255, 45]
     assert colors.tolist() == [[5, 5, 5], [5, 5, 5]]
+
+
+def test_native_rle_frame_matches_oracle():
+    """The fused C RLE+framing pass must emit byte-identical records to the
+    vectorized rle_exact + _records_to_bytes pipeline (incl. the 255-cap)."""
+    from cniic_tpu import native
+    from cniic_tpu.codecs.hilbertc import _records_to_bytes
+
+    rng = np.random.default_rng(42)
+    cases = [
+        rng.integers(0, 4, (5000, 3)).astype(np.uint8),
+        rng.integers(0, 256, (3000, 3)).astype(np.uint8),
+        np.zeros((70000, 3), np.uint8),
+        np.zeros((0, 3), np.uint8),
+        np.repeat(np.array([[9, 8, 7]], np.uint8), 255, axis=0),
+        np.repeat(np.array([[9, 8, 7]], np.uint8), 510, axis=0),
+        np.repeat(np.array([[9, 8, 7]], np.uint8), 511, axis=0),
+        np.repeat(rng.integers(0, 3, (200, 3)).astype(np.uint8),
+                  rng.integers(1, 700, 200), axis=0),
+    ]
+    for scan in cases:
+        counts, colors = rle.rle_exact(scan)
+        assert _records_to_bytes(counts, colors) == native.rle_frame(scan)
