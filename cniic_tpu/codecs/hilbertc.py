@@ -23,7 +23,6 @@ from __future__ import annotations
 import numpy as np
 
 from .. import hilbert, native, wire
-from ..ops import rle as rle_ops
 from .base import Codec
 
 
@@ -62,7 +61,7 @@ class Hilbert(Codec):
             return header + native.zip_dict_encode(framed)
         if self.allow == 0.0:
             # fused C pass: RLE + record framing in one sweep (identical
-            # records to rle_ops.rle_exact + _records_to_bytes)
+            # records to ops.rle.rle_exact + _records_to_bytes, test-pinned)
             return header + native.rle_frame(scan)
         counts, colors = native.approx_rle_encode(scan, self.allow)
         return header + _records_to_bytes(counts, colors)
