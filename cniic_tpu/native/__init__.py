@@ -72,6 +72,12 @@ def _load() -> ctypes.CDLL:
         lib.approx_rle_encode.argtypes = [u8p, i64, ctypes.c_double, u8p, u8p]
         lib.approx_rle_encode.restype = i64
 
+        i64p0 = ctypes.POINTER(i64)
+        lib.gather_rgb.argtypes = [u8p, i64p0, i64, u8p]
+        lib.gather_rgb.restype = None
+        lib.scatter_rgb.argtypes = [u8p, i64p0, i64, u8p]
+        lib.scatter_rgb.restype = None
+
         lib.rle_frame.argtypes = [u8p, i64, u8p]
         lib.rle_frame.restype = i64
 
@@ -183,6 +189,28 @@ def hist_u32(keys: np.ndarray):
     if u < 0:
         raise MemoryError("hist_u32 failed")
     return uniq[:u].copy(), counts[:u].copy(), inverse
+
+
+def gather_rgb(rgb: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """out[i] = rgb[perm[i]] over (N, 3) uint8 rows (int64 indices)."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1, 3)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    out = np.empty((perm.size, 3), dtype=np.uint8)
+    lib.gather_rgb(_as_u8p(rgb), perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                   perm.size, _as_u8p(out))
+    return out
+
+
+def scatter_rgb(rgb: np.ndarray, perm: np.ndarray, n_out: int) -> np.ndarray:
+    """out[perm[i]] = rgb[i] over (N, 3) uint8 rows (int64 indices)."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1, 3)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    out = np.empty((n_out, 3), dtype=np.uint8)
+    lib.scatter_rgb(_as_u8p(rgb), perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    perm.size, _as_u8p(out))
+    return out
 
 
 def rle_frame(rgb: np.ndarray) -> bytes:

@@ -932,6 +932,31 @@ EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
 /* ------------------------------------------------------------------ */
 
 /* rgb: n*3 bytes -> out: n*11 bytes of [03 00 00 00 00 00 00 00 R G B] */
+/* Permutation gather/scatter of 3-byte pixels (int64 row indices, the
+ * dtype hilbert.scan_indices produces). gather: out[i] = rgb[perm[i]];
+ * scatter: out[perm[i]] = rgb[i]. */
+EXPORT void gather_rgb(const uint8_t *rgb, const int64_t *perm, int64_t n,
+                       uint8_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *s = rgb + 3 * perm[i];
+        uint8_t *d = out + 3 * i;
+        d[0] = s[0];
+        d[1] = s[1];
+        d[2] = s[2];
+    }
+}
+
+EXPORT void scatter_rgb(const uint8_t *rgb, const int64_t *perm, int64_t n,
+                        uint8_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *s = rgb + 3 * i;
+        uint8_t *d = out + 3 * perm[i];
+        d[0] = s[0];
+        d[1] = s[1];
+        d[2] = s[2];
+    }
+}
+
 /* Exact RLE over an RGB stream, emitting the reference's 12-byte records
  * in one pass: u8 count + the 11-byte Rgb wire quirk (hilbertc.rs:115-196
  * record loop with the count==255 cap, ser.rs:210-222 layout). Runs longer
