@@ -59,7 +59,11 @@ def _special_hilbert(paths) -> None:
 
         dump(hilbert.scan_coords(w, h), "rect")
 
-        # largest "inscribed" power-of-two square (hilbert.rs:15-22 formula)
+        # "largest inscribed" power-of-two square, replicating the
+        # reference's exact formula `next_power_of_two() >> 1`
+        # (hilbert.rs:18) — including its quirk that an exactly
+        # power-of-two dimension is HALVED (w=512 -> 256), since Rust's
+        # next_power_of_two(512) == 512. Pinned by tests/test_cli.py.
         so = min(_next_pow2(w) >> 1, _next_pow2(h) >> 1)
         dump(hilbert.scan_coords(so, so), "small")
 

@@ -48,6 +48,16 @@ class ClusterColors(Codec):
                                 minlength=self.n)
         freq = np.zeros(uniq_keys.size, dtype=np.int64)
         np.add.at(freq, pal_rank, cluster_w.astype(np.int64))
+        # drop colors whose clusters are all empty: they never appear in the
+        # reduced image, so the delegate Hufman path would not emit a leaf
+        # for them (ADVICE.md r1 — zero-freq leaves broke the byte-identity
+        # claim and wasted ~13 bytes each)
+        present = freq > 0
+        if not present.all():
+            remap = np.cumsum(present) - 1
+            pal_rank = remap[pal_rank]
+            uniq_keys = uniq_keys[present]
+            freq = freq[present]
         leaf = np.frombuffer(
             wire.rgb_stream_to_wire(histogram.unpack_colors(uniq_keys.astype(np.uint32))),
             dtype=np.uint8).reshape(-1, wire.RGB_WIRE_SIZE)

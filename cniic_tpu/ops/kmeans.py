@@ -133,13 +133,30 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp:
     for i in range(wp):
         wsum = wsum * 256 + sums[:, vp * d + i]
     denom = jnp.maximum(wsum, 1)[:, None]
+    # The value-plane columns are *plane sums* (each <= 255*n), not digits.
+    # Normalize them into true base-256 digits by carry propagation, then
+    # long-divide in base 16 so every intermediate fits int32: the running
+    # remainder stays < denom <= total weight and the host guards
+    # total weight < 2^27, so rem*16 + nibble < 2^31. (The previous base-256
+    # division overflowed once a cluster's weight crossed ~2^23 and silently
+    # corrupted the palette — ADVICE.md round 1.)
+    digits = []  # least-significant first
+    carry = jnp.zeros((k, d), jnp.int32)
+    for i in reversed(range(vp)):
+        v = sums[:, i * d : (i + 1) * d] + carry
+        digits.append(v & 0xFF)
+        carry = v >> 8
+    for _ in range(4):  # residual carry < 255*n/255 <= n <= 4M: 3 bytes + slack
+        digits.append(carry & 0xFF)
+        carry = carry >> 8
     rem = jnp.zeros((k, d), jnp.int32)
     out = jnp.zeros((k, d), jnp.int32)
-    for i in range(vp):
-        cur_v = rem * 256 + sums[:, i * d : (i + 1) * d]
-        q = cur_v // denom
-        rem = cur_v - q * denom
-        out = out * 256 + q
+    for dig in reversed(digits):
+        for shift in (4, 0):
+            cur_v = rem * 16 + ((dig >> shift) & 0xF)
+            q = cur_v // denom
+            rem = cur_v - q * denom
+            out = out * 16 + q
     cents_i = out
     empty = wsum == 0
 
@@ -234,6 +251,9 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     w[:n] = 1 if weights is None else weights
     if int(points.max(initial=0)) * int(w.max(initial=1)) >= 2**31:
         raise ValueError("kmeans weighted values must fit int32")
+    if int(w[:n].astype(np.int64).sum()) >= 2**27:
+        # the base-16 long division's remainder bound (see _iteration)
+        raise ValueError("kmeans total weight must be < 2^27 (~134M pixels)")
     if int(points.max(initial=0)) > 2048:
         log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
                     "exactness and convergence may slow")
@@ -271,12 +291,20 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     n_dev = jnp.int32(n)
     best_moved = n + 1
     stall = 0
+    # CNIIC_KMEANS_STRICT=1 restores the reference's strict till-no-change
+    # rule (kmeans.rs:26) — used to quantify the plateau stop's frontier
+    # impact (PARITY.md has the measured table).
+    strict = os.environ.get("CNIIC_KMEANS_STRICT", "") == "1"
     while it < max_iters:
         it_dev, cur_dev, cents_dev, moved = _kmeans_loop(
             pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, n_dev,
             jnp.int32(it), k, burst, bs, vp, wp, pk)
         it = int(it_dev)
         moved = int(moved)
+        if moved == 0:
+            break
+        if strict:
+            continue
         if moved <= max(n >> 10, 0):  # < 0.1% of points still moving
             break
         if moved < best_moved * 0.98:  # require real progress, not jitter
@@ -295,6 +323,14 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
     active = np.unique(assignment).size
     min_required = min(n, int(0.99 * k))
     if active < min_required:
-        log.warning("k-means: only %d/%d active clusters", active, k)
+        # the reference fails hard here (assert!, kmeans.rs:41-57); the
+        # runner's per-image continue-on-error is the analog of the panic
+        # aborting that image. CNIIC_KMEANS_LAX=1 downgrades to a warning.
+        msg = (f"Not enough active clusters: requested {k}, got {active} "
+               f"(min allowed: {min_required})")
+        if os.environ.get("CNIIC_KMEANS_LAX", "") == "1":
+            log.warning("k-means: %s", msg)
+        else:
+            raise AssertionError(msg)
     log.info("k-means: %d iterations, %d active clusters", it, active)
     return centroids, assignment, it

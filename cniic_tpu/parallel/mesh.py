@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 jax.config.update("jax_enable_x64", True)
 
@@ -104,13 +108,26 @@ def sharded_kmeans_step(mesh: Mesh, k: int, block: int = 1024):
         wsum = sums[:, 4 * d] * 256 ** 3 + sums[:, 4 * d + 1] * 256 ** 2 \
             + sums[:, 4 * d + 2] * 256 + sums[:, 4 * d + 3]
         denom = jnp.maximum(wsum, 1)[:, None]
+        # carry-normalize plane sums into base-256 digits, then base-16 long
+        # division — same int32-exact scheme as ops/kmeans.py (exact while
+        # total weight < 2^27; the old base-256 division overflowed at ~2^23)
+        digits = []
+        carry = jnp.zeros((k, d), jnp.int32)
+        for i in reversed(range(4)):
+            v = sums[:, i * d : (i + 1) * d] + carry
+            digits.append(v & 0xFF)
+            carry = v >> 8
+        for _ in range(4):
+            digits.append(carry & 0xFF)
+            carry = carry >> 8
         rem = jnp.zeros((k, d), jnp.int32)
         out = jnp.zeros((k, d), jnp.int32)
-        for i in range(4):
-            cur_v = rem * 256 + sums[:, i * d : (i + 1) * d]
-            q = cur_v // denom
-            rem = cur_v - q * denom
-            out = out * 256 + q
+        for dig in reversed(digits):
+            for shift in (4, 0):
+                cur_v = rem * 16 + ((dig >> shift) & 0xF)
+                q = cur_v // denom
+                rem = cur_v - q * denom
+                out = out * 16 + q
         return new, out, wsum, changed
 
     sharded = shard_map(

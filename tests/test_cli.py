@@ -57,6 +57,27 @@ def test_special_hilbert_dumps(png, tmp_path, monkeypatch):
     assert len(list(csv.reader(open("output/img.large.hilbert.csv")))) == 9 * 14 + 1
 
 
+def test_special_hilbert_small_square_pow2_quirk(tmp_path, monkeypatch, rng):
+    """The 'largest inscribed' square replicates the reference formula
+    next_power_of_two() >> 1 (hilbert.rs:18) — an exactly power-of-two
+    dimension is HALVED (64 -> 32), because Rust's next_power_of_two(64)
+    is 64. Bug-for-bug parity, same as the voronoi wrapping-u32 metric."""
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    p = tmp_path / "sq.png"
+    image_io.save_png(img, p)
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["--special=hilbert", str(p)]) == 0
+    rows = list(csv.reader(open("output/sq.small.hilbert.csv")))
+    assert len(rows) == 32 * 32 + 1  # NOT 64*64: the reference halves it
+    # non-power-of-two: 65 -> next_pow2 128 -> 64 (true largest inscribed)
+    img = rng.integers(0, 256, (64, 65, 3)).astype(np.uint8)
+    p2 = tmp_path / "r.png"
+    image_io.save_png(img, p2)
+    assert cli.main(["--special=hilbert", str(p2)]) == 0
+    rows = list(csv.reader(open("output/r.small.hilbert.csv")))
+    assert len(rows) == 32 * 32 + 1  # min(64, 32) over (w=65, h=64)
+
+
 def test_batch_and_resume_flags(png, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     assert cli.main(["--codec=hilbert(rle)", "--batch=2", png]) == 0

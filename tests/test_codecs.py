@@ -184,3 +184,30 @@ def test_cluster_colors_stream_matches_hufman_of_reduced(test_image):
         colors.astype(np.int64), 8, weights=counts.astype(np.int64))
     reduced = centroids.astype(np.uint8)[assignment][inverse].reshape(test_image.shape)
     assert data == Hufman().encode(reduced)
+
+
+def test_cluster_colors_drops_empty_cluster_leaves(test_image, monkeypatch):
+    """A cluster left empty at loop exit must not leave a zero-frequency
+    leaf in the Huffman tree (ADVICE.md r1): the stream must still be
+    byte-identical to Hufman-encoding the reduced image."""
+    from cniic_tpu.codecs.base import pixels_row_major
+    from cniic_tpu.codecs.hufman import Hufman
+    from cniic_tpu.ops import histogram, kmeans
+
+    pixels = pixels_row_major(test_image)
+    colors, counts, _ = histogram.color_histogram(pixels)
+    n_colors = colors.shape[0]
+    # crafted result: cluster 2 is empty, its centroid color is unique
+    fake_cents = np.array([[10, 10, 10], [200, 200, 200], [7, 99, 7]], np.int64)
+    fake_assign = np.where(np.arange(n_colors) % 2 == 0, 0, 1).astype(np.int32)
+    monkeypatch.setattr(kmeans, "kmeans",
+                        lambda *a, **k: (fake_cents, fake_assign, 1))
+    cc = from_spec("cluster-colors(3)")
+    data = cc.encode(test_image)
+
+    _, _, inverse = histogram.color_histogram(pixels)
+    reduced = fake_cents.astype(np.uint8)[fake_assign][inverse].reshape(test_image.shape)
+    assert data == Hufman().encode(reduced)
+    # the empty cluster's leaf record (tag 0 + 11-byte Rgb wire) is gone
+    ghost_leaf = b"\x00" + (3).to_bytes(8, "little") + bytes([7, 99, 7])
+    assert ghost_leaf not in data

@@ -38,18 +38,45 @@ def test_squares2():
 
 
 def test_init_layout():
-    """Init splits chunks from the tail; centroid = first point of chunk
-    (kmeans.rs:61-108)."""
-    pts = np.arange(10, dtype=np.int64).reshape(-1, 1) * 0  # all identical -> no movement
-    pts = np.column_stack([np.arange(10, dtype=np.int64) * 0, np.arange(10, dtype=np.int64) * 0])
-    # use distinct points but huge k-distance so nothing moves in one iter
-    pts = np.array([[i, 0] for i in range(10)], np.int64)
-    cents, assign, iters = kmeans.kmeans(pts, 3, max_iters=1)
-    # ppc = 3: cluster0 = pts[7..10), cluster1 = pts[4..7), cluster2 = pts[0..4)
-    # initial centroids: first of each chunk = pts[7], pts[4], pts[0]
-    # (after 1 iter means are computed; just sanity check shapes/labels)
-    assert cents.shape == (3, 2)
-    assert assign.shape == (10,)
+    """Init splits k equal chunks from the TAIL and the initial centroid is
+    the FIRST point of each chunk (kmeans.rs:61-108). The point set below
+    discriminates both choices:
+
+    * tail-chunking fixes the label layout — cluster0 = pts[7:10],
+      cluster1 = pts[4:7], cluster2 = pts[0:4] (head chunks would permute
+      the final labels);
+    * first-point centroids decide where pts[3]=35 goes on iteration 1 —
+      with c1 = pts[4] = 40 it moves to cluster 1 (|35-40| = 5 < 35) and
+      stays there; with a mean (74) or last-point (92) init it would stay
+      in cluster 2 for good.
+    """
+    vals = [0, 1, 2, 35, 40, 90, 92, 150, 151, 152]
+    pts = np.array([[v, 0] for v in vals], np.int64)
+    cents, assign, _ = kmeans.kmeans(pts, 3)
+    assert assign.tolist() == [2, 2, 2, 1, 1, 1, 1, 0, 0, 0]
+    # converged truncated means of {35,40,90,92}, {0,1,2}, {150,151,152}
+    assert cents.tolist() == [[151, 0], [64, 0], [1, 0]]
+
+
+def test_weighted_mean_no_int32_overflow():
+    """Regression for ADVICE.md r1: the base-256 long division overflowed
+    once a cluster's total weight crossed ~2^23, silently corrupting the
+    palette (all-[255]^3 with 2e7 total weight returned [40,40,40])."""
+    pts = np.tile(np.array([[255, 255, 255]], np.int64), (4, 1))
+    w = np.full(4, 5_000_000, np.int64)  # total weight 2e7 > 2^23
+    cents, _, _ = kmeans.kmeans(pts, 1, weights=w)
+    assert cents.tolist() == [[255, 255, 255]]
+    # mixed-value truncation at scale: (255*15M + 0*5M) // 20M = 191
+    pts = np.array([[255, 255, 255], [255, 255, 255], [255, 255, 255],
+                    [0, 0, 0]], np.int64)
+    cents, _, _ = kmeans.kmeans(pts, 1, weights=w)
+    assert cents.tolist() == [[191, 191, 191]]
+
+
+def test_total_weight_guard():
+    with pytest.raises(ValueError, match="2\\^27"):
+        kmeans.kmeans(np.zeros((2, 3), np.int64), 1,
+                      weights=np.full(2, 2**26, np.int64))
 
 
 def test_weighted_integer_mean():
