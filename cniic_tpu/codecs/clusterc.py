@@ -24,46 +24,77 @@ from .base import Codec, pixels_row_major
 from .hufman import Hufman
 
 
+def _palette_stream_parts(n: int, counts, inverse, centroids, assignment):
+    """(ids, freq, leaf) for the Huffman stream of the reduced image.
+
+    Built straight from the palette statistics — byte-identical to
+    Hufman().encode(palette[assignment][inverse]) but skips re-histogramming
+    the full reduced image. Distinct centroid colors can merge (several
+    clusters, one color), so dedup first.
+    """
+    palette = centroids.astype(np.uint8)              # means stay in 0..255
+    pal_keys = histogram.pack_colors(palette)
+    uniq_keys, pal_rank = np.unique(pal_keys, return_inverse=True)
+    cluster_w = np.bincount(assignment, weights=counts.astype(np.float64),
+                            minlength=n)
+    freq = np.zeros(uniq_keys.size, dtype=np.int64)
+    np.add.at(freq, pal_rank, cluster_w.astype(np.int64))
+    # drop colors whose clusters are all empty: they never appear in the
+    # reduced image, so the delegate Hufman path would not emit a leaf
+    # for them (ADVICE.md r1 — zero-freq leaves broke the byte-identity
+    # claim and wasted ~13 bytes each)
+    present = freq > 0
+    if not present.all():
+        remap = np.cumsum(present) - 1
+        pal_rank = remap[pal_rank]
+        uniq_keys = uniq_keys[present]
+        freq = freq[present]
+    leaf = np.frombuffer(
+        wire.rgb_stream_to_wire(histogram.unpack_colors(uniq_keys.astype(np.uint32))),
+        dtype=np.uint8).reshape(-1, wire.RGB_WIRE_SIZE)
+    ids = pal_rank.astype(np.int32)[assignment][inverse]
+    return ids, freq, leaf
+
+
 class ClusterColors(Codec):
     def __init__(self, n: int) -> None:
         self.n = int(n)
 
     def encode(self, img: np.ndarray) -> bytes:
+        from .. import huffman
+
         h, w = img.shape[:2]
         pixels = pixels_row_major(img)
         colors, counts, inverse = histogram.color_histogram(pixels)
         centroids, assignment, _ = kmeans.kmeans(
             colors.astype(np.int64), self.n, weights=counts.astype(np.int64))
-        palette = centroids.astype(np.uint8)          # means stay in 0..255
-
-        # Huffman stream built straight from the palette statistics — byte-
-        # identical to Hufman().encode(palette[assignment][inverse]) but
-        # skips re-histogramming the full reduced image. Distinct centroid
-        # colors can merge (several clusters, one color), so dedup first.
-        from .. import huffman, wire
-
-        pal_keys = histogram.pack_colors(palette.astype(np.uint8))
-        uniq_keys, pal_rank = np.unique(pal_keys, return_inverse=True)
-        cluster_w = np.bincount(assignment, weights=counts.astype(np.float64),
-                                minlength=self.n)
-        freq = np.zeros(uniq_keys.size, dtype=np.int64)
-        np.add.at(freq, pal_rank, cluster_w.astype(np.int64))
-        # drop colors whose clusters are all empty: they never appear in the
-        # reduced image, so the delegate Hufman path would not emit a leaf
-        # for them (ADVICE.md r1 — zero-freq leaves broke the byte-identity
-        # claim and wasted ~13 bytes each)
-        present = freq > 0
-        if not present.all():
-            remap = np.cumsum(present) - 1
-            pal_rank = remap[pal_rank]
-            uniq_keys = uniq_keys[present]
-            freq = freq[present]
-        leaf = np.frombuffer(
-            wire.rgb_stream_to_wire(histogram.unpack_colors(uniq_keys.astype(np.uint32))),
-            dtype=np.uint8).reshape(-1, wire.RGB_WIRE_SIZE)
-        ids = pal_rank.astype(np.int32)[assignment][inverse]
+        ids, freq, leaf = _palette_stream_parts(
+            self.n, counts, inverse, centroids, assignment)
         stream = huffman.encode_stream(ids, freq, leaf)
         return wire.pack_dims(w, h) + stream
+
+    def encode_batch(self, imgs) -> list[bytes]:
+        """Batched: per-image host histograms (native radix), one lockstep
+        device k-means over every image's unique colors (lanes freeze as
+        they converge — results are bit-identical to `encode`), then one
+        batched device bit-pack for all the Huffman payloads. This is the
+        reference's rayon fan-out (bench.rs:22-27) as a batch axis.
+        """
+        from .. import huffman
+
+        if len(imgs) <= 1:
+            return [self.encode(img) for img in imgs]
+        stats = [histogram.color_histogram(pixels_row_major(im)) for im in imgs]
+        results = kmeans.kmeans_batch(
+            [colors.astype(np.int64) for colors, _, _ in stats], self.n,
+            weights_list=[counts.astype(np.int64) for _, counts, _ in stats])
+        parts = [
+            _palette_stream_parts(self.n, counts, inverse, cents, assign)
+            for (_, counts, inverse), (cents, assign, _) in zip(stats, results)]
+        streams = huffman.batch_encode_streams(
+            [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts])
+        return [wire.pack_dims(im.shape[1], im.shape[0]) + s
+                for im, s in zip(imgs, streams)]
 
     def decode(self, data) -> np.ndarray:
         return Hufman().decode(data)
@@ -81,14 +112,7 @@ class VoronoiCluster(Codec):
     def __init__(self, n: int) -> None:
         self.n = int(n)
 
-    def encode(self, img: np.ndarray) -> bytes:
-        h, w = img.shape[:2]
-        pixels = pixels_row_major(img).astype(np.int64)
-        xs = np.tile(np.arange(w, dtype=np.int64), h)
-        ys = np.repeat(np.arange(h, dtype=np.int64), w)
-        points = np.column_stack([xs, ys, pixels])
-        centroids, _, _ = kmeans.kmeans(points, self.n)
-
+    def _serialize(self, w: int, h: int, centroids: np.ndarray) -> bytes:
         out = bytearray()
         out += wire.pack_u32(w)
         out += wire.pack_u32(h)
@@ -98,6 +122,28 @@ class VoronoiCluster(Codec):
             out += wire.pack_u32(cy)
             out += wire.pack_rgb(r, g, b)
         return bytes(out)
+
+    def encode(self, img: np.ndarray) -> bytes:
+        h, w = img.shape[:2]
+        centroids = kmeans.voronoi_centroids_batch(img[None], self.n)[0]
+        return self._serialize(w, h, centroids)
+
+    def encode_batch(self, imgs) -> list[bytes]:
+        """Batched: images are bucketed by shape and each bucket runs one
+        lockstep device k-means over its stacked (x, y, r, g, b) point sets
+        (lanes freeze as they converge, so per-image centroids are
+        bit-identical to `encode`). Only the uint8 images are uploaded and
+        only the (k, 5) centroids come back."""
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, im in enumerate(imgs):
+            buckets.setdefault(im.shape[:2], []).append(i)
+        out: list[bytes | None] = [None] * len(imgs)
+        for (h, w), idxs in buckets.items():
+            cents = kmeans.voronoi_centroids_batch(
+                np.stack([imgs[i] for i in idxs]), self.n)
+            for i, c in zip(idxs, cents):
+                out[i] = self._serialize(w, h, c)
+        return out
 
     def decode(self, data) -> np.ndarray:
         r = wire.ByteReader(data)

@@ -110,6 +110,45 @@ def encode_stream(symbol_ids: np.ndarray, freqs: np.ndarray,
     return serialize_tree(book, leaf_payloads) + encode_payload(symbol_ids, book, device=device)
 
 
+def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
+    """Batched encode_all for pre-resolved symbol streams: per-stream tree
+    bytes (host, tiny) + device-batched bit packing.
+
+    ids_list: per-stream int arrays of symbol ids (< the stream's alphabet).
+    freqs_list: per-stream symbol frequencies (the codebook input).
+    leafs_list: per-stream uint8[u, leaf_size] wire payloads per symbol.
+    """
+    from . import trace
+    from .ops import bitpack
+    from .ops.bitpack import _bucket
+
+    B = len(ids_list)
+    n_pad = _bucket(max(i.size for i in ids_list))
+    u_pad = _bucket(max(f.size for f in freqs_list))
+    u_pad = max(u_pad, 256) + 1  # +1: zero-length padding entry per image
+
+    trees = []
+    # uint16 ids when every alphabet (incl. the per-image padding id u)
+    # fits: halves the dominant host->device transfer of the batch
+    id_dtype = np.uint16 if u_pad <= 0xFFFF else np.int32
+    ids = np.zeros((B, n_pad), dtype=id_dtype)
+    codes = np.zeros((B, u_pad), dtype=np.uint64)
+    lens = np.zeros((B, u_pad), dtype=np.uint32)
+    with trace.span("huffman.trees"):
+        for i, (sym, freqs, leafs) in enumerate(zip(ids_list, freqs_list, leafs_list)):
+            u = freqs.size
+            book = build_codebook(freqs)
+            trees.append(serialize_tree(book, leafs))
+            codes[i, :u] = book.codes
+            lens[i, :u] = book.lens
+            ids[i, : sym.size] = sym
+            ids[i, sym.size :] = u  # padding -> zero-length code
+
+    with trace.span("huffman.pack"):
+        payloads = bitpack.pack_bits_batch(ids, codes, lens)
+    return [t + p for t, p in zip(trees, payloads)]
+
+
 def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
     """Device-resident batched Huffman encode (tree bytes + packed payload
     per stream).
@@ -124,12 +163,6 @@ def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
     the host boundary. Host does the (tiny) tree builds.
     """
     from . import native, trace
-    from .ops import bitpack
-    from .ops.bitpack import _bucket
-
-    B = len(keys_list)
-    lengths = [k.size for k in keys_list]
-    n_pad = _bucket(max(lengths))
 
     # per-stream stats on host (native LSD radix, ~an order of magnitude
     # faster than any sort this host's numpy can do), packing batched on
@@ -138,29 +171,10 @@ def batch_encode(keys_list, uniq_to_payload) -> list[bytes]:
     with trace.span("huffman.stats"):
         for k in keys_list:
             stats.append(native.hist_u32(k))
-    u_pad = _bucket(max(s[0].size for s in stats), ) if stats else 256
-    u_pad = max(u_pad, 256) + 1  # +1: zero-length padding entry per image
-
-    trees = []
-    # uint16 ids when every alphabet (incl. the per-image padding id u)
-    # fits: halves the dominant host->device transfer of the batch
-    id_dtype = np.uint16 if u_pad <= 0xFFFF else np.int32
-    ids = np.zeros((B, n_pad), dtype=id_dtype)
-    codes = np.zeros((B, u_pad), dtype=np.uint64)
-    lens = np.zeros((B, u_pad), dtype=np.uint32)
-    with trace.span("huffman.trees"):
-        for i, (uniq, counts, inverse) in enumerate(stats):
-            u = uniq.size
-            book = build_codebook(counts)
-            trees.append(serialize_tree(book, uniq_to_payload(uniq)))
-            codes[i, :u] = book.codes
-            lens[i, :u] = book.lens
-            ids[i, : inverse.size] = inverse
-            ids[i, inverse.size :] = u  # padding -> zero-length code
-
-    with trace.span("huffman.pack"):
-        payloads = bitpack.pack_bits_batch(ids, codes, lens)
-    return [t + p for t, p in zip(trees, payloads)]
+    return batch_encode_streams(
+        [inv for (_, _, inv) in stats],
+        [counts for (_, counts, _) in stats],
+        [uniq_to_payload(uniq) for (uniq, _, _) in stats])
 
 
 def decode_stream(data, leaf_size: int, n_symbols: int):

@@ -25,6 +25,13 @@ Semantics preserved from the reference:
 
 Dropped (pure CPU optimizations, no effect on results): the neighbour-graph
 pruning and certainty-radius early-outs.
+
+Batching: every device entry point carries a leading batch axis. The burst
+loop iterates all lanes together and **freezes** a lane the moment its move
+count reaches its stop threshold, so each lane's trajectory is bit-identical
+to a single-image run (tested in tests/test_kmeans.py). This is the
+reference's rayon-over-images parallelism (bench.rs:22-27) mapped onto the
+batch dimension of the MXU.
 """
 
 from __future__ import annotations
@@ -128,7 +135,15 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp:
     new = jnp.where(valid, new.reshape(-1), 0)
     moved = jnp.sum((new != cur).astype(jnp.int32), dtype=jnp.int32)
     sums = jnp.sum(sums_blocks, axis=0, dtype=jnp.int32)  # (k, vp*d+wp)
+    cents_i, empty = _means_from_sums(sums, pts_i, k, it, n, vp, wp)
+    return new, cents_i, empty, moved
 
+
+def _means_from_sums(sums, pts_i, k: int, it, n, vp: int, wp: int):
+    """Integer-truncated means from the digit-plane statistics + on-device
+    empty-cluster repair. sums int32[k, vp*d+wp]; pts_i int32[n_pad, d] is
+    the steal source. Returns (cents int32[k, d], empty bool[k])."""
+    d = pts_i.shape[1]
     wsum = jnp.zeros((k,), jnp.int32)
     for i in range(wp):
         wsum = wsum * 256 + sums[:, vp * d + i]
@@ -167,7 +182,7 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp:
     mix = (it + 1) * jnp.int32(-1640531527) + jnp.arange(k, dtype=jnp.int32) * jnp.int32(40503)
     steal = (mix & jnp.int32(0x7FFFFFFF)) % jnp.maximum(n, 1)
     cents_i = jnp.where(empty[:, None], pts_i[steal], cents_i)
-    return new, cents_i, empty, moved
+    return cents_i, empty
 
 
 @jax.jit
@@ -178,149 +193,236 @@ def _widen(pu, wu, cu):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp", "pk"))
-def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, it0, k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4, wp: int = 4, pk: int = 0):
-    """Iterate fully on device until no point moves or the burst cap (empty
-    clusters are repaired in-iteration). Returns the last move count."""
+def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, thresh, moved0, it0,
+                 k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4, wp: int = 4, pk: int = 0):
+    """One device burst over a batch of lanes (leading axis B everywhere).
+
+    Iterates until every lane's move count is at or below its `thresh` or
+    the burst cap is hit. A lane whose count reaches its threshold is
+    frozen — its assignment/centroids stop updating — so per-lane results
+    are bit-identical to running that lane alone. `moved0` seeds the move
+    counts (the host passes the previous burst's counts; 0 force-freezes a
+    lane, e.g. on a host-detected plateau).
+    """
+
+    def one_lane(pf, pi, wi, va, cu, ce, it, ni):
+        return _iteration(pf, pi, wi, va, cu, ce, k, it, ni, bs, vp, wp, pk)
 
     def cond(state):
         it, _, _, moved = state
-        return jnp.logical_and(moved > 0, it < it0 + max_iters)
+        return jnp.logical_and(jnp.any(moved > thresh), it < it0 + max_iters)
 
     def body(state):
-        it, cur, cents_i, _ = state
-        new, cents_new, empty, moved = _iteration(
-            pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), k, it, n,
-            bs, vp, wp, pk)
-        return it + 1, new, cents_new, moved
+        it, cur, cents_i, moved = state
+        new, cents_new, _, new_moved = jax.vmap(
+            one_lane, in_axes=(0, 0, 0, 0, 0, 0, None, 0)
+        )(pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), it, n)
+        act = moved > thresh
+        cur = jnp.where(act[:, None], new, cur)
+        cents_i = jnp.where(act[:, None, None], cents_new, cents_i)
+        moved = jnp.where(act, new_moved, moved)
+        return it + 1, cur, cents_i, moved
 
-    # do-while: seed with moved=1
-    state = (it0, cur, cents_i, jnp.int32(1))
-    it, cur, cents_i, moved = jax.lax.while_loop(cond, body, state)
-    return it, cur, cents_i, moved
+    state = (it0, cur, cents_i, moved0)
+    return jax.lax.while_loop(cond, body, state)
 
 
-def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
-           seed: int = 0, max_iters: int = 10_000):  # seed kept for API compat
-    """Cluster integer-valued points.
+@functools.partial(jax.jit, static_argnames=("k",))
+def _active_counts(cur, valid, k: int):
+    """Distinct assigned clusters per lane: (B, n_pad) -> int32[B]."""
 
-    points: (n, d) nonnegative integers (any dtype).
-    weights: optional (n,) positive integers (frequency weights).
-    Returns (centroids int64[k, d], assignment int32[n], n_iters).
+    def one(c, v):
+        hits = jnp.zeros((k,), jnp.int32).at[jnp.where(v, c, k)].add(
+            1, mode="drop")
+        return jnp.sum((hits > 0).astype(jnp.int32))
+
+    return jax.vmap(one)(cur, valid)
+
+
+def _stop_threshold(n: int) -> int:
+    """Practical convergence (documented divergence from the reference's
+    strict till-no-change, kmeans.rs:26): with integer-truncated means at
+    megapixel scale a small fraction of boundary points limit-cycles
+    indefinitely while the clustering cost is long flat, so a lane stops
+    once fewer than 0.1% of its points still move. CNIIC_KMEANS_STRICT=1
+    restores the strict rule (used by scripts/convergence_study.py, which
+    measured zero frontier impact — table in PARITY.md)."""
+    if os.environ.get("CNIIC_KMEANS_STRICT", "") == "1":
+        return 0
+    return max(n >> 10, 0)
+
+
+def _pallas_block(n_pad: int, k: int, pk: int, batch: int) -> int:
+    """Kernel point-block size for the fused Pallas iteration, or 0 to use
+    the XLA path. Auto-enabled on accelerators (the kernel needs the packed
+    argmin's int32 bound); CNIIC_PALLAS_KMEANS=0 forces XLA, =1 forces the
+    kernel (interpret mode off-TPU — used by the parity tests)."""
+    mode = os.environ.get("CNIIC_PALLAS_KMEANS", "")
+    if mode == "0" or pk == 0:
+        return 0
+    if mode != "1" and jax.default_backend() == "cpu":
+        return 0
+    from . import kmeans_pallas
+
+    return kmeans_pallas.pick_block(n_pad, k, batch)
+
+
+def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
+           vp: int, wp: int, pk: int, max_iters: int):
+    """Host burst driver around the device iteration loop.
+
+    The convergence loop runs on device in bounded bursts: a single XLA
+    execution spanning hundreds of iterations over megapixel point sets
+    trips the runtime watchdog, so each call is capped and the host checks
+    in between. Burst size scales down with point count to keep per-call
+    runtime in the seconds range. Returns (iters, cur_dev, cents_dev).
     """
-    points = np.asarray(points)
-    n, d = points.shape
-    if n < k:
-        raise ValueError(f"k-means needs at least k points ({n} < {k})")
-    ppc = n // k
-    if ppc == 0:
-        raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
+    B = int(n_arr.size)
+    thresh = np.array([_stop_threshold(int(n)) for n in n_arr], np.int32)
+    burst = max(4, min(64, (1 << 23) // max(int(n_arr.max()) // 8, 1)))
+    thresh_dev = jnp.asarray(thresh)
+    n_dev = jnp.asarray(n_arr.astype(np.int32))
+    moved = n_arr.astype(np.int64) + 1  # seed: every lane active
+    strict = os.environ.get("CNIIC_KMEANS_STRICT", "") == "1"
+    best = moved.copy()
+    stall = np.zeros(B, np.int64)
 
-    # --- init (tail-chunk split, kmeans.rs:61-78) ---
-    assignment = np.empty(n, dtype=np.int32)
-    tail_start = n - (k - 1) * ppc
-    assignment[:tail_start] = k - 1
-    if k > 1:
-        j = np.arange(tail_start, n)
-        assignment[tail_start:] = (n - 1 - j) // ppc
-    centroids = np.empty((k, d), dtype=np.int32)
-    for i in range(k - 1):
-        centroids[i] = points[n - (i + 1) * ppc]
-    centroids[k - 1] = points[0]
+    bs_p = _pallas_block(pts_i.shape[1], k, pk, B)
+    if bs_p:
+        from . import kmeans_pallas
 
-    # --- padding to the block size ---
-    if n > 4_000_000:
-        raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+        ptsT = kmeans_pallas.to_ptsT(pts_i)
+        interp = jax.default_backend() == "cpu"
+        # the fused kernel runs ~3x more iterations per second than the XLA
+        # body, so a burst can span more of the convergence run and still
+        # stay under the runtime watchdog; fewer bursts = fewer tunnel syncs
+        # (each burst boundary costs ~65 ms of dispatch+fetch on the
+        # tunneled host — a typical voronoi run should fit in ONE burst)
+        burst = max(4, min(256, (1 << 27) // max(int(n_arr.max()), 1)))
+
+        def run_burst(cur, cents, moved_seed, it):
+            return kmeans_pallas.kmeans_loop_pallas(
+                ptsT, w, cur, cents, n_dev, thresh_dev, moved_seed,
+                jnp.int32(it), k, burst, bs_p, vp, wp, pk, interpret=interp)
+    else:
+        def run_burst(cur, cents, moved_seed, it):
+            return _kmeans_loop(
+                pts_f, pts_i, w, valid, cur, cents, n_dev, thresh_dev,
+                moved_seed, jnp.int32(it), k, burst,
+                bs=bs, vp=vp, wp=wp, pk=pk)
+
+    it = 0
+    while it < max_iters and (moved > thresh).any():
+        it_dev, cur, cents, moved_dev = run_burst(
+            cur, cents, jnp.asarray(moved.astype(np.int32)), it)
+        it = int(it_dev)
+        moved = np.asarray(moved_dev).astype(np.int64)
+        if strict:
+            continue
+        # plateau safety net, per lane: three bursts without a 2% move-count
+        # improvement freezes the lane (zero frontier impact measured —
+        # PARITY.md; the threshold stop above fires first in practice)
+        active = moved > thresh
+        improved = moved < best * 0.98
+        stall = np.where(improved, 0, stall + active)
+        best = np.minimum(best, moved)
+        plateaued = active & (stall >= 3)
+        if plateaued.any():
+            log.info("k-means: %d lane(s) plateaued at %s moves (%d iterations)",
+                     int(plateaued.sum()), moved[plateaued].tolist(), it)
+            moved[plateaued] = 0
+    return it, cur, cents
+
+
+def _prep_host_batch(points_list, k: int, weights_list):
+    """Validate + pad a host-side point batch; returns everything `_drive`
+    needs plus the per-lane true sizes."""
+    B = len(points_list)
+    points_list = [np.asarray(p) for p in points_list]
+    d = points_list[0].shape[1]
+    ns = np.array([p.shape[0] for p in points_list], np.int64)
+    for p in points_list:
+        if p.shape[1] != d:
+            raise ValueError("kmeans batch lanes must share dimensionality")
+        n = p.shape[0]
+        if n < k:
+            raise ValueError(f"k-means needs at least k points ({n} < {k})")
+        if n // k == 0:
+            raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
+        if n > 4_000_000:
+            raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+
+    if weights_list is None:
+        weights_list = [None] * B
+    max_val = max(int(p.max(initial=0)) for p in points_list)
+    max_w = max(
+        1 if wl is None else max(int(np.max(wl)), 1) for wl in weights_list)
+    max_prod = max_val * max_w
+    if max_prod >= 2**31:
+        raise ValueError("kmeans weighted values must fit int32")
+    for p, wl in zip(points_list, weights_list):
+        tot = p.shape[0] if wl is None else int(np.asarray(wl, np.int64).sum())
+        if tot >= 2**27:
+            # the base-16 long division's remainder bound (see _iteration)
+            raise ValueError("kmeans total weight must be < 2^27 (~134M pixels)")
+    if max_val > 2048:
+        log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
+                    "exactness and convergence may slow")
+
     # bigger blocks amortize per-step dispatch overhead; cap the distance
     # tile at ~32MB (bs * k * 4B)
     bs = 65536 if k <= 512 else _BLOCK
     bs = int(os.environ.get("CNIIC_KMEANS_BS", bs))
-    max_w = 1 if weights is None else max(int(np.max(weights)), 1)
-    max_prod = int(points.max(initial=0)) * max_w
     vp = max(1, (max_prod.bit_length() + 7) // 8)
     wp = max(1, (max_w.bit_length() + 7) // 8)
     # packed argmin+min single-reduce: exact only while d2*pk + idx fits
     # int32 (d2 is bounded by the per-dim maxima; centroids are truncated
     # means or stolen points, so they stay within the same per-dim ranges)
-    d2_bound = int(np.sum(points.max(axis=0, initial=0).astype(np.int64) ** 2))
+    d2_bound = max(
+        int(np.sum(p.max(axis=0, initial=0).astype(np.int64) ** 2))
+        for p in points_list)
     pkc = 1 << max(k - 1, 0).bit_length()
     pk = pkc if (d2_bound + 1) * pkc < 2**31 else 0
-    n_pad = -(-n // bs) * bs
-    pts_i = np.zeros((n_pad, d), dtype=np.int32)
-    pts_i[:n] = points
-    w = np.zeros(n_pad, dtype=np.int32)
-    w[:n] = 1 if weights is None else weights
-    if int(points.max(initial=0)) * int(w.max(initial=1)) >= 2**31:
-        raise ValueError("kmeans weighted values must fit int32")
-    if int(w[:n].astype(np.int64).sum()) >= 2**27:
-        # the base-16 long division's remainder bound (see _iteration)
-        raise ValueError("kmeans total weight must be < 2^27 (~134M pixels)")
-    if int(points.max(initial=0)) > 2048:
-        log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
-                    "exactness and convergence may slow")
-    valid = np.zeros(n_pad, dtype=bool)
-    valid[:n] = True
-    cur = np.zeros(n_pad, dtype=np.int32)
-    cur[:n] = assignment
+
+    n_pad = -(-int(ns.max()) // bs) * bs
+    pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
+    w = np.zeros((B, n_pad), dtype=np.int32)
+    valid = np.zeros((B, n_pad), dtype=bool)
+    cur = np.zeros((B, n_pad), dtype=np.int32)
+    cents = np.zeros((B, k, d), dtype=np.int32)
+    for b, (p, wl) in enumerate(zip(points_list, weights_list)):
+        n = p.shape[0]
+        pts_i[b, :n] = p
+        w[b, :n] = 1 if wl is None else wl
+        valid[b, :n] = True
+        # --- init (tail-chunk split, kmeans.rs:61-78) ---
+        ppc = n // k
+        tail_start = n - (k - 1) * ppc
+        cur[b, :tail_start] = k - 1
+        if k > 1:
+            j = np.arange(tail_start, n)
+            cur[b, tail_start:n] = (n - 1 - j) // ppc
+        for i in range(k - 1):
+            cents[b, i] = p[n - (i + 1) * ppc]
+        cents[b, k - 1] = p[0]
 
     # Narrow uploads (the tunnel link, ~35-50 MB/s, is a real cost at
     # megapixel point counts): points as int16 (values are < 2048 per the
     # exactness contract), weights as uint8 when they fit, the initial
     # assignment as uint16; one tiny device program widens to the loop's
     # int32/f32 working set so the burst-loop signature stays stable.
-    pts_up = pts_i.astype(np.int16) if int(points.max(initial=0)) <= 32767 else pts_i
+    pts_up = pts_i.astype(np.int16) if max_val <= 32767 else pts_i
     w_up = w.astype(np.uint8) if max_w < 256 else w
     cur_up = cur.astype(np.uint16) if k <= 65535 else cur
     pts_f, pts_i_dev, w_dev, cur_dev = _widen(
         jnp.asarray(pts_up), jnp.asarray(w_up), jnp.asarray(cur_up))
     valid_dev = jnp.asarray(valid)
-    cents_dev = jnp.asarray(centroids)
+    cents_dev = jnp.asarray(cents)
+    return (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, ns,
+            bs, vp, wp, pk)
 
-    it = 0
-    # The convergence loop runs on device in bounded bursts: a single XLA
-    # execution spanning hundreds of iterations over megapixel point sets
-    # trips the runtime watchdog, so each call is capped and the host checks
-    # in between. Burst size scales down with point count to keep per-call
-    # runtime in the seconds range.
-    #
-    # Practical convergence (documented divergence from the reference's
-    # strict till-no-change, kmeans.rs:26): with integer-truncated means at
-    # megapixel scale a small fraction of boundary points limit-cycles
-    # indefinitely while the clustering cost is long flat, so the loop also
-    # stops when the per-iteration move count stops improving.
-    burst = max(4, min(64, (1 << 23) // max(n // 8, 1)))
-    n_dev = jnp.int32(n)
-    best_moved = n + 1
-    stall = 0
-    # CNIIC_KMEANS_STRICT=1 restores the reference's strict till-no-change
-    # rule (kmeans.rs:26) — used to quantify the plateau stop's frontier
-    # impact (PARITY.md has the measured table).
-    strict = os.environ.get("CNIIC_KMEANS_STRICT", "") == "1"
-    while it < max_iters:
-        it_dev, cur_dev, cents_dev, moved = _kmeans_loop(
-            pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, n_dev,
-            jnp.int32(it), k, burst, bs, vp, wp, pk)
-        it = int(it_dev)
-        moved = int(moved)
-        if moved == 0:
-            break
-        if strict:
-            continue
-        if moved <= max(n >> 10, 0):  # < 0.1% of points still moving
-            break
-        if moved < best_moved * 0.98:  # require real progress, not jitter
-            best_moved = moved
-            stall = 0
-        else:
-            stall += 1
-            if stall >= 3:
-                log.info("k-means: move count plateaued at %d (%d iterations)",
-                         moved, it)
-                break
 
-    centroids = np.array(cents_dev)
-    assignment = np.asarray(cur_dev)[:n]
-    centroids = centroids.astype(np.int64)
-    active = np.unique(assignment).size
+def _check_active(active: int, k: int, n: int) -> None:
     min_required = min(n, int(0.99 * k))
     if active < min_required:
         # the reference fails hard here (assert!, kmeans.rs:41-57); the
@@ -332,5 +434,126 @@ def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
             log.warning("k-means: %s", msg)
         else:
             raise AssertionError(msg)
-    log.info("k-means: %d iterations, %d active clusters", it, active)
-    return centroids, assignment, it
+
+
+def kmeans_batch(points_list, k: int, weights_list=None,
+                 max_iters: int = 10_000):
+    """Cluster a batch of integer point sets in lockstep on the device.
+
+    points_list: list of (n_i, d) nonnegative integer arrays (n_i may vary;
+    lanes are padded to a common block multiple and masked).
+    weights_list: optional list of (n_i,) positive integer frequency weights.
+    Returns a list of (centroids int64[k, d], assignment int32[n_i], iters).
+    """
+    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk) = \
+        _prep_host_batch(points_list, k, weights_list)
+    it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
+                            ns, k, bs, vp, wp, pk, max_iters)
+    cents_np = np.array(cents).astype(np.int64)
+    assign_np = np.asarray(cur)
+    out = []
+    for b, n in enumerate(ns.tolist()):
+        assignment = assign_np[b, :n]
+        active = np.unique(assignment).size
+        _check_active(active, k, n)
+        out.append((cents_np[b], assignment, it))
+    log.info("k-means: %d iterations over %d lane(s)", it, len(out))
+    return out
+
+
+def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
+           seed: int = 0, max_iters: int = 10_000):  # seed kept for API compat
+    """Cluster integer-valued points (single-lane wrapper over kmeans_batch).
+
+    points: (n, d) nonnegative integers (any dtype).
+    weights: optional (n,) positive integers (frequency weights).
+    Returns (centroids int64[k, d], assignment int32[n], n_iters).
+    """
+    return kmeans_batch([points], k,
+                        None if weights is None else [weights],
+                        max_iters=max_iters)[0]
+
+
+# ---------------------------------------------------------------------------
+# voronoi: device-built (x, y, r, g, b) point sets straight from the images
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "bs"))
+def _voronoi_setup(imgs, k: int, bs: int):
+    """Build the padded 5-D point batch + init state on device from a stacked
+    uint8 image batch (B, h, w, 3). Only the raw images cross the link
+    (3 B/pixel instead of int16 points + masks, ~6x less traffic); the
+    coordinates, tail-chunk init assignment and first-point centroids
+    (kmeans.rs:61-78) are index arithmetic, so they're generated on device.
+    """
+    B, h, wd, _ = imgs.shape
+    n = h * wd
+    n_pad = -(-n // bs) * bs
+    ppc = n // k
+    tail_start = n - (k - 1) * ppc
+
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid = idx < n
+    cur = jnp.where(idx < tail_start, k - 1,
+                    (n - 1 - idx) // jnp.int32(ppc)).astype(jnp.int32)
+    cur = jnp.where(valid, cur, 0)
+    x = idx % wd
+    y = jnp.minimum(idx // wd, h - 1)
+    pix = imgs.reshape(B, n, 3).astype(jnp.int32)
+    pix = jnp.pad(pix, ((0, 0), (0, n_pad - n), (0, 0)))
+    coords = jnp.stack([x, y], axis=1)  # (n_pad, 2)
+    pts_i = jnp.concatenate(
+        [jnp.broadcast_to(coords[None], (B, n_pad, 2)), pix], axis=2)
+    # padding rows keep whatever values land there: weight 0 + the valid
+    # mask already zero their contribution to every output
+
+    cents_idx = np.array([n - (i + 1) * ppc for i in range(k - 1)] + [0],
+                         np.int32)
+    cents = pts_i[:, jnp.asarray(cents_idx), :]
+
+    w = jnp.broadcast_to(valid.astype(jnp.int32)[None], (B, n_pad))
+    valid_b = jnp.broadcast_to(valid[None], (B, n_pad))
+    cur_b = jnp.broadcast_to(cur[None], (B, n_pad))
+    return pts_i.astype(jnp.float32), pts_i, w, valid_b, cur_b, cents
+
+
+def voronoi_centroids_batch(imgs: np.ndarray, k: int,
+                            max_iters: int = 10_000) -> np.ndarray:
+    """K-means over all pixels as (x, y, r, g, b) points for a same-shape
+    image batch (clusterc.rs:206-247), entirely device-resident: upload the
+    uint8 images, build points/init on device, fetch only the (B, k, 5)
+    centroids (the assignment is not part of the voronoi stream).
+    Returns int64[B, k, 5].
+    """
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    B, h, w, _ = imgs.shape
+    n = h * w
+    if n < k:
+        raise ValueError(f"k-means needs at least k points ({n} < {k})")
+    if n // k == 0:
+        raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
+    if n > 4_000_000:
+        raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+    if max(h, w) - 1 > 2048:
+        log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
+                    "exactness and convergence may slow")
+
+    bs = 65536 if k <= 512 else _BLOCK
+    bs = int(os.environ.get("CNIIC_KMEANS_BS", bs))
+    max_val = max(w - 1, h - 1, 255)
+    vp = max(1, (max_val.bit_length() + 7) // 8)
+    wp = 1
+    d2_bound = (w - 1) ** 2 + (h - 1) ** 2 + 3 * 255 ** 2
+    pkc = 1 << max(k - 1, 0).bit_length()
+    pk = pkc if (d2_bound + 1) * pkc < 2**31 else 0
+
+    pts_f, pts_i, w_dev, valid, cur, cents = _voronoi_setup(
+        jnp.asarray(imgs), k, bs)
+    ns = np.full(B, n, np.int64)
+    it, cur, cents = _drive(pts_f, pts_i, w_dev, valid, cur, cents,
+                            ns, k, bs, vp, wp, pk, max_iters)
+    actives = np.asarray(_active_counts(cur, valid, k))
+    for b in range(B):
+        _check_active(int(actives[b]), k, n)
+    log.info("k-means: %d iterations over %d voronoi lane(s)", it, B)
+    return np.array(cents).astype(np.int64)

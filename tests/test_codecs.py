@@ -211,3 +211,21 @@ def test_cluster_colors_drops_empty_cluster_leaves(test_image, monkeypatch):
     # the empty cluster's leaf record (tag 0 + 11-byte Rgb wire) is gone
     ghost_leaf = b"\x00" + (3).to_bytes(8, "little") + bytes([7, 99, 7])
     assert ghost_leaf not in data
+
+
+@pytest.mark.parametrize("spec", ["cluster-colors(8)", "voronoi(16)"])
+def test_kmeans_codec_batch_matches_single(spec, rng):
+    """encode_batch must produce byte-identical streams to per-image encode:
+    lanes freeze independently in the lockstep device loop, so batching an
+    image with a slower-converging neighbour must not change its result.
+    Mixed shapes exercise the voronoi shape bucketing and the cluster-colors
+    padding/masking."""
+    imgs = [
+        rng.integers(0, 256, (24, 32, 3)).astype(np.uint8),
+        rng.integers(0, 256, (40, 40, 3)).astype(np.uint8),
+        rng.integers(0, 256, (24, 32, 3)).astype(np.uint8),
+    ]
+    codec = from_spec(spec)
+    batched = codec.encode_batch(imgs)
+    singles = [codec.encode(im) for im in imgs]
+    assert batched == singles

@@ -69,8 +69,8 @@ GOLDEN = {
     "zip(back)": [(67523, 0.0), (94533, 0.0), (53173, 0.0)],
     "cluster-colors(16)": [(6148, 450.2252604), (8238, 88.2706299), (4651, 60.3631696)],
     "cluster-colors(32)": [(7918, 170.2086589), (10630, 42.1232910), (5948, 18.0802455)],
-    "voronoi(64)": [(1232, 3731.9038086), (1232, 3365.5150146), (1232, 2323.5593750)],
-    "voronoi(128)": [(2448, 2427.6587728), (2448, 2704.4589233), (2448, 1443.4994420)],
+    "voronoi(64)": [(1232, 3731.9038086), (1232, 3365.5150146), (1232, 2294.0121652)],
+    "voronoi(128)": [(2448, 2427.6587728), (2448, 2714.3590698), (2448, 1443.4994420)],
 }
 
 

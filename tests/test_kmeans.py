@@ -145,3 +145,23 @@ def test_packed_argmin_matches_plain():
     assert i1 == i2
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_kmeans_batch_lanes_match_single():
+    """Lockstep lanes (different sizes, weighted + unweighted mix) must be
+    bit-identical to running each point set alone: a lane is frozen the
+    instant its own stop rule fires, regardless of its neighbours."""
+    rng = np.random.default_rng(7)
+    sets = [
+        (rng.integers(0, 256, (500, 3)).astype(np.int64),
+         rng.integers(1, 50, 500).astype(np.int64)),
+        (rng.integers(0, 256, (1200, 3)).astype(np.int64), None),
+        (rng.integers(0, 256, (37, 3)).astype(np.int64),
+         np.ones(37, np.int64)),
+    ]
+    batched = kmeans.kmeans_batch([p for p, _ in sets], 8,
+                                  weights_list=[w for _, w in sets])
+    for (p, w), (bc, ba, _) in zip(sets, batched):
+        sc, sa, _ = kmeans.kmeans(p, 8, weights=w)
+        np.testing.assert_array_equal(bc, sc)
+        np.testing.assert_array_equal(ba, sa)

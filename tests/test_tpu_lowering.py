@@ -47,11 +47,36 @@ def test_kmeans_loop_lowers_for_tpu():
     from cniic_tpu.ops import kmeans as km
 
     n_pad = km._BLOCK
-    pts_f = jnp.asarray(np.zeros((n_pad, 3), np.float32))
-    pts_i = jnp.asarray(np.zeros((n_pad, 3), np.int32))
-    w = jnp.asarray(np.ones(n_pad, np.int32))
-    valid = jnp.asarray(np.ones(n_pad, bool))
-    cur = jnp.asarray(np.zeros(n_pad, np.int32))
-    cents = jnp.asarray(np.zeros((4, 3), np.int32))
+    B = 2
+    pts_f = jnp.asarray(np.zeros((B, n_pad, 3), np.float32))
+    pts_i = jnp.asarray(np.zeros((B, n_pad, 3), np.int32))
+    w = jnp.asarray(np.ones((B, n_pad), np.int32))
+    valid = jnp.asarray(np.ones((B, n_pad), bool))
+    cur = jnp.asarray(np.zeros((B, n_pad), np.int32))
+    cents = jnp.asarray(np.zeros((B, 4, 3), np.int32))
+    n = jnp.asarray(np.full(B, n_pad, np.int32))
+    thresh = jnp.asarray(np.zeros(B, np.int32))
+    moved0 = jnp.asarray(np.full(B, n_pad, np.int32))
     f = jax.jit(functools.partial(km._kmeans_loop.__wrapped__, k=4, max_iters=10))
-    _lower_tpu(f, pts_f, pts_i, w, valid, cur, cents, jnp.int32(n_pad), jnp.int32(0))
+    _lower_tpu(f, pts_f, pts_i, w, valid, cur, cents, n, thresh, moved0,
+               jnp.int32(0))
+
+
+def test_kmeans_pallas_kernel_lowers_for_tpu():
+    jax.config.update("jax_enable_x64", True)
+    from cniic_tpu.ops import kmeans_pallas as kp
+
+    B, d, n_pad, k = 2, 5, 4096, 128
+    ptsT = jnp.asarray(np.zeros((B, d, n_pad), np.float32))
+    w = jnp.asarray(np.ones((B, n_pad), np.int32))
+    cur = jnp.asarray(np.zeros((B, n_pad), np.int32))
+    cents = jnp.asarray(np.zeros((B, k, d), np.int32))
+    n = jnp.asarray(np.full(B, n_pad, np.int32))
+    thresh = jnp.asarray(np.zeros(B, np.int32))
+    moved0 = jnp.asarray(np.full(B, n_pad, np.int32))
+    f = jax.jit(functools.partial(
+        kp.kmeans_loop_pallas.__wrapped__, k=k, max_iters=8, bs=2048,
+        vp=2, wp=1, pk=128, interpret=False))
+    text = _lower_tpu(f, ptsT, w, cur, cents, n, thresh, moved0,
+                      jnp.int32(0)).as_text()
+    assert "tpu_custom_call" in text or "mosaic" in text.lower()
