@@ -51,17 +51,20 @@ log = logging.getLogger(__name__)
 _BLOCK = 16384
 
 
-def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp: int, wp: int, pk: int):
-    """One assign+update step. Shapes: pts [n_pad, d] (f32 / int32),
-    w int32[n_pad] (0 for padding), valid bool[n_pad], cur int32[n_pad],
-    cents_f f32[k, d].
+def _assign_stats_xla(pts_f, pts_i, w, valid, cur, cents_f, k: int, bs: int, vp: int, wp: int, pk: int):
+    """Assignment + centroid statistics for one step (the shardable core).
+    Shapes: pts [n_pad, d] (f32 / int32), w int32[n_pad] (0 for padding),
+    valid bool[n_pad], cur int32[n_pad], cents_f f32[k, d].
+    Returns (new int32[n_pad], sums int32[k, vp*d+wp], moved int32).
 
     Everything rides the MXU: the assignment is a distance matmul + argmin,
     and the centroid statistics are one-hot matmuls over 8-bit digit planes
     of the weighted values — per-block f32 sums stay exact (<= 255*block),
-    cross-block accumulation is int32, and the integer-truncated mean is a
-    base-256 long division. No scatters, no 64-bit ops (both are slow to
-    compile and have crashed the worker on this stack at megapixel sizes).
+    cross-block accumulation is int32. The int32 sums are order-independent,
+    so point-sharded partial sums psum'd over a mesh (parallel/mesh.py) are
+    bit-identical to the single-device result. No scatters, no 64-bit ops
+    (both are slow to compile and have crashed the worker on this stack at
+    megapixel sizes).
     """
     n_pad, d = pts_f.shape
     nb = n_pad // bs
@@ -135,15 +138,20 @@ def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp:
     new = jnp.where(valid, new.reshape(-1), 0)
     moved = jnp.sum((new != cur).astype(jnp.int32), dtype=jnp.int32)
     sums = jnp.sum(sums_blocks, axis=0, dtype=jnp.int32)  # (k, vp*d+wp)
+    return new, sums, moved
+
+
+def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp: int, wp: int, pk: int):
+    """One full assign+update step: the shardable core + integer means."""
+    new, sums, moved = _assign_stats_xla(
+        pts_f, pts_i, w, valid, cur, cents_f, k, bs, vp, wp, pk)
     cents_i, empty = _means_from_sums(sums, pts_i, k, it, n, vp, wp)
     return new, cents_i, empty, moved
 
 
-def _means_from_sums(sums, pts_i, k: int, it, n, vp: int, wp: int):
-    """Integer-truncated means from the digit-plane statistics + on-device
-    empty-cluster repair. sums int32[k, vp*d+wp]; pts_i int32[n_pad, d] is
-    the steal source. Returns (cents int32[k, d], empty bool[k])."""
-    d = pts_i.shape[1]
+def _means_div(sums, d: int, k: int, vp: int, wp: int):
+    """Integer-truncated means from the digit-plane statistics.
+    sums int32[k, vp*d+wp]. Returns (cents int32[k, d], wsum int32[k])."""
     wsum = jnp.zeros((k,), jnp.int32)
     for i in range(wp):
         wsum = wsum * 256 + sums[:, vp * d + i]
@@ -172,15 +180,26 @@ def _means_from_sums(sums, pts_i, k: int, it, n, vp: int, wp: int):
             q = cur_v // denom
             rem = cur_v - q * denom
             out = out * 16 + q
-    cents_i = out
-    empty = wsum == 0
+    return out, wsum
 
-    # Empty-cluster repair on device (kmeans.rs:110-137 steals a random
-    # point; here the "random" pick is a Weyl-sequence hash of (iteration,
-    # cluster) over the valid points — documented RNG divergence, empties
-    # are a transient of early iterations)
+
+def _steal_indices(k: int, it, n):
+    """Empty-cluster repair picks (kmeans.rs:110-137 steals a random point;
+    here the "random" pick is a Weyl-sequence hash of (iteration, cluster)
+    over the valid points — documented RNG divergence, empties are a
+    transient of early iterations)."""
     mix = (it + 1) * jnp.int32(-1640531527) + jnp.arange(k, dtype=jnp.int32) * jnp.int32(40503)
-    steal = (mix & jnp.int32(0x7FFFFFFF)) % jnp.maximum(n, 1)
+    return (mix & jnp.int32(0x7FFFFFFF)) % jnp.maximum(n, 1)
+
+
+def _means_from_sums(sums, pts_i, k: int, it, n, vp: int, wp: int):
+    """Integer-truncated means + on-device empty-cluster repair.
+    sums int32[k, vp*d+wp]; pts_i int32[n_pad, d] is the steal source.
+    Returns (cents int32[k, d], empty bool[k])."""
+    d = pts_i.shape[1]
+    cents_i, wsum = _means_div(sums, d, k, vp, wp)
+    empty = wsum == 0
+    steal = _steal_indices(k, it, n)
     cents_i = jnp.where(empty[:, None], pts_i[steal], cents_i)
     return cents_i, empty
 
@@ -239,6 +258,27 @@ def _active_counts(cur, valid, k: int):
     return jax.vmap(one)(cur, valid)
 
 
+def plan_params(max_val: int, max_w: int, d2_bound: int, k: int):
+    """Static iteration parameters from the value bounds (shared by the
+    single-chip prep and the sharded step so the two can't drift):
+
+    * bs — point block: bigger blocks amortize per-step dispatch overhead;
+      cap the distance tile at ~32MB (bs * k * 4B);
+    * vp/wp — digit-plane counts for the weighted values / weights;
+    * pk — packed argmin+min single-reduce factor: exact only while
+      d2*pk + idx fits int32 (d2 is bounded by the per-dim maxima;
+      centroids are truncated means or stolen points, so they stay within
+      the same per-dim ranges); 0 disables packing.
+    """
+    bs = 65536 if k <= 512 else _BLOCK
+    bs = int(os.environ.get("CNIIC_KMEANS_BS", bs))
+    vp = max(1, ((max_val * max_w).bit_length() + 7) // 8)
+    wp = max(1, (max_w.bit_length() + 7) // 8)
+    pkc = 1 << max(k - 1, 0).bit_length()
+    pk = pkc if (d2_bound + 1) * pkc < 2**31 else 0
+    return bs, vp, wp, pk
+
+
 def _stop_threshold(n: int) -> int:
     """Practical convergence (documented divergence from the reference's
     strict till-no-change, kmeans.rs:26): with integer-truncated means at
@@ -287,7 +327,23 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
     best = moved.copy()
     stall = np.zeros(B, np.int64)
 
+    mesh = None
+    if B > 1:
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.batch_mesh(B)
     bs_p = _pallas_block(pts_i.shape[1], k, pk, B)
+    if mesh is not None:
+        # multi-chip: lanes over devices (the reference's rayon-over-images,
+        # bench.rs:22-27, as data parallelism) — GSPMD partitions the
+        # vmapped iteration, leaving one tiny all-reduce (the any(moved >
+        # thresh) loop condition) per iteration on ICI. The fused Pallas
+        # kernel doesn't auto-partition under GSPMD, so the sharded path
+        # uses the XLA body (a shard_map'd kernel is future work).
+        bs_p = 0
+        (pts_f, pts_i, w, valid, cur, cents, n_dev, thresh_dev) = \
+            pmesh.shard_batch(mesh, pts_f, pts_i, w, valid, cur, cents,
+                              n_dev, thresh_dev)
     if bs_p:
         from . import kmeans_pallas
 
@@ -369,20 +425,10 @@ def _prep_host_batch(points_list, k: int, weights_list):
         log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
                     "exactness and convergence may slow")
 
-    # bigger blocks amortize per-step dispatch overhead; cap the distance
-    # tile at ~32MB (bs * k * 4B)
-    bs = 65536 if k <= 512 else _BLOCK
-    bs = int(os.environ.get("CNIIC_KMEANS_BS", bs))
-    vp = max(1, (max_prod.bit_length() + 7) // 8)
-    wp = max(1, (max_w.bit_length() + 7) // 8)
-    # packed argmin+min single-reduce: exact only while d2*pk + idx fits
-    # int32 (d2 is bounded by the per-dim maxima; centroids are truncated
-    # means or stolen points, so they stay within the same per-dim ranges)
     d2_bound = max(
         int(np.sum(p.max(axis=0, initial=0).astype(np.int64) ** 2))
         for p in points_list)
-    pkc = 1 << max(k - 1, 0).bit_length()
-    pk = pkc if (d2_bound + 1) * pkc < 2**31 else 0
+    bs, vp, wp, pk = plan_params(max_val, max_w, d2_bound, k)
 
     n_pad = -(-int(ns.max()) // bs) * bs
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)

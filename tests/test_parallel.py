@@ -1,7 +1,6 @@
 """Multi-chip sharding validated on virtual CPU devices."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -15,31 +14,47 @@ def mesh8():
     return pmesh.make_mesh(8)
 
 
-def test_sharded_kmeans_step_matches_single_device(mesh8, rng):
-    k, d, n = 8, 5, 64 * 8
-    points = rng.integers(0, 64, (n, d)).astype(np.int32)
-    w = np.ones(n, np.int32)
-    cur = np.zeros(n, np.int32)
-    cents = points[:k].astype(np.float32)
+def test_point_sharded_kmeans_bit_identical(mesh8, rng):
+    """The point-sharded loop (psum'd digit-plane stats + masked-psum steal)
+    must reproduce the single-device kmeans() bit-for-bit — same centroids,
+    same assignment, same iteration count."""
+    from cniic_tpu.ops import kmeans as km
 
-    step = pmesh.sharded_kmeans_step(mesh8, k, block=64)
-    new, out_cents, wsum, changed = step(points.astype(np.float32), points, w, cur, cents)
-    assert int(np.asarray(wsum).sum()) == n
-    assert bool(changed)
+    pts = rng.integers(0, 256, (700, 3)).astype(np.int64)
+    wts = rng.integers(1, 9, 700).astype(np.int64)
+    c1, a1, i1 = km.kmeans(pts, 12, weights=wts)
+    c2, a2, i2 = pmesh.sharded_kmeans(mesh8, pts, 12, weights=wts, block=64)
+    assert i1 == i2
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(c1, c2)
 
-    # cross-check the assignment against a plain numpy argmin-with-stay
-    d2 = ((points[:, None, :].astype(np.float64) - cents[None].astype(np.float64)) ** 2).sum(-1)
-    best = d2.argmin(1)
-    stay = d2[np.arange(n), cur] <= d2[np.arange(n), best]
-    expect = np.where(stay, cur, best)
-    assert np.array_equal(np.asarray(new), expect)
+    # unweighted 5-D points (the voronoi shape)
+    pts = rng.integers(0, 200, (512, 5)).astype(np.int64)
+    c1, a1, i1 = km.kmeans(pts, 16)
+    c2, a2, i2 = pmesh.sharded_kmeans(mesh8, pts, 16, block=64)
+    assert i1 == i2
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(c1, c2)
 
-    # centroids: exact truncated means of the new assignment
-    for c in range(k):
-        members = points[expect == c]
-        if len(members):
-            exp_mean = members.sum(0) // len(members)
-            assert np.array_equal(np.asarray(out_cents)[c], exp_mean)
+
+def test_batch_sharded_codecs_bit_identical(mesh8, rng):
+    """With 8 lanes on 8 devices the lockstep loop auto-shards the batch
+    axis (ops.kmeans._drive); streams must equal the single-device ones."""
+    import os
+
+    from cniic_tpu.codecs import from_spec
+
+    imgs = [rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+            for _ in range(8)]
+    for spec in ("cluster-colors(4)", "voronoi(8)"):
+        codec = from_spec(spec)
+        sharded = codec.encode_batch(imgs)           # B=8 -> mesh path
+        os.environ["CNIIC_MESH"] = "0"
+        try:
+            single = codec.encode_batch(imgs)        # forced single-device
+        finally:
+            os.environ.pop("CNIIC_MESH", None)
+        assert sharded == single, spec
 
 
 def test_sharded_mse(mesh8, rng):
