@@ -85,12 +85,14 @@ def parse_tree(data, leaf_size: int):
     return left, right, symbol, payloads, consumed
 
 
-def encode_payload(symbol_ids: np.ndarray, book: Codebook, device: bool = True) -> bytes:
+def encode_payload(symbol_ids: np.ndarray, book: Codebook, device: bool = True,
+                   total_bits: int | None = None) -> bytes:
     """Pack the symbol stream with the codebook (device path by default)."""
     if symbol_ids.size == 0:
         return b""
     if device:
-        return bitpack.pack_bits_device(symbol_ids.astype(np.int32), book.codes, book.lens)
+        return bitpack.pack_bits_device(symbol_ids.astype(np.int32),
+                                        book.codes, book.lens, total_bits)
     return bitpack.pack_bits_numpy(book.codes[symbol_ids], book.lens[symbol_ids])
 
 
@@ -107,7 +109,9 @@ def encode_stream(symbol_ids: np.ndarray, freqs: np.ndarray,
                   leaf_payloads: np.ndarray, device: bool = True) -> bytes:
     """Full huf::encode_all analog (huf.rs:22-43): tree bytes + packed payload."""
     book = build_codebook(freqs)
-    return serialize_tree(book, leaf_payloads) + encode_payload(symbol_ids, book, device=device)
+    total_bits = int(np.asarray(freqs, np.uint64) @ book.lens)
+    return serialize_tree(book, leaf_payloads) + encode_payload(
+        symbol_ids, book, device=device, total_bits=total_bits)
 
 
 def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
@@ -134,6 +138,7 @@ def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
     ids = np.zeros((B, n_pad), dtype=id_dtype)
     codes = np.zeros((B, u_pad), dtype=np.uint64)
     lens = np.zeros((B, u_pad), dtype=np.uint32)
+    total_bits = []
     with trace.span("huffman.trees"):
         for i, (sym, freqs, leafs) in enumerate(zip(ids_list, freqs_list, leafs_list)):
             u = freqs.size
@@ -143,9 +148,12 @@ def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
             lens[i, :u] = book.lens
             ids[i, : sym.size] = sym
             ids[i, sym.size :] = u  # padding -> zero-length code
+            # payload size is known before the device packs a single bit
+            # (sum freq*len) — saves the bit-count fetch round trip
+            total_bits.append(int(np.asarray(freqs, np.uint64) @ book.lens))
 
     with trace.span("huffman.pack"):
-        payloads = bitpack.pack_bits_batch(ids, codes, lens)
+        payloads = bitpack.pack_bits_batch(ids, codes, lens, total_bits)
     return [t + p for t, p in zip(trees, payloads)]
 
 

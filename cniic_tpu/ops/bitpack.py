@@ -89,10 +89,14 @@ def _words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
     return words.astype(">u4").tobytes()[:nbytes]
 
 
-def pack_bits_device(sym_ids: np.ndarray, codes: np.ndarray, lens: np.ndarray) -> bytes:
+def pack_bits_device(sym_ids: np.ndarray, codes: np.ndarray, lens: np.ndarray,
+                     total_bits: int | None = None) -> bytes:
     """Pack symbol stream on the accelerator; returns the padded byte string.
 
     sym_ids indexes into the codebook (codes u64[u], lens u32[u]).
+    total_bits: optional host-computed payload size (sum freq*len) — allows
+    fetching only the occupied words in one bucketed slice instead of the
+    whole padded buffer.
     """
     n = sym_ids.size
     if n == 0:
@@ -111,8 +115,11 @@ def pack_bits_device(sym_ids: np.ndarray, codes: np.ndarray, lens: np.ndarray) -
     # worst case 63 bits/symbol -> 2 words/symbol; keeps n_words a pure
     # function of the bucket so compilations are bounded by bucket count
     n_words = 2 * n_pad + 2
-    words, total_bits = _pack_device(jnp.asarray(ids), jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(l32), n_words)
-    return _words_to_bytes(np.asarray(words), int(total_bits))
+    words, bits_dev = _pack_device(jnp.asarray(ids), jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(l32), n_words)
+    if total_bits is None:
+        total_bits = int(bits_dev)
+    wmax = min(_bucket(max((total_bits + 31) // 32, 1)), n_words)
+    return _words_to_bytes(np.asarray(words[:wmax]), total_bits)
 
 
 _pack_device = functools.partial(jax.jit, static_argnames=("n_words",))(_pack_core)
@@ -121,12 +128,16 @@ _pack_ids_batch = functools.partial(jax.jit, static_argnames=("n_words",))(
     jax.vmap(_pack_core, in_axes=(0, 0, 0, 0, None)))
 
 
-def pack_bits_batch(ids: np.ndarray, codes: np.ndarray, lens: np.ndarray):
+def pack_bits_batch(ids: np.ndarray, codes: np.ndarray, lens: np.ndarray,
+                    total_bits=None):
     """Pack B id streams against per-image codebooks in one device call.
 
     ids int32 or uint16 [B, n_pad] (padding entries must index a
     zero-length code),
     codes uint64[B, u_pad], lens uint32[B, u_pad].
+    total_bits: optional per-stream payload bit counts the caller computed
+    on host (sum freq*len); skips a device round trip (~0.1-0.3 s of tunnel
+    latency measured).
     Returns the list of padded byte strings.
     """
     hi = (codes >> np.uint64(32)).astype(np.uint32)
@@ -135,10 +146,16 @@ def pack_bits_batch(ids: np.ndarray, codes: np.ndarray, lens: np.ndarray):
     words, bits = _pack_ids_batch(
         jnp.asarray(ids), jnp.asarray(hi), jnp.asarray(lo),
         jnp.asarray(lens.astype(np.int32)), n_words)
-    bits = np.asarray(bits)
-    slices = jax.device_get(
-        [words[i, : (int(bits[i]) + 31) // 32] for i in range(ids.shape[0])])
-    return [_words_to_bytes(w, int(b)) for w, b in zip(slices, bits)]
+    if total_bits is None:
+        total_bits = np.asarray(bits)
+    # ONE rectangular fetch up to the longest stream: per-image sliced
+    # device_gets cost a tunnel round trip each (~0.1 s x B measured).
+    # The slice width is bucketed so new batch shapes don't force a fresh
+    # remote compile of the slice program.
+    wmax = max((int(b) + 31) // 32 for b in total_bits) if len(total_bits) else 0
+    wmax = min(_bucket(max(wmax, 1)), n_words)
+    allw = np.asarray(words[:, :wmax])
+    return [_words_to_bytes(allw[i], int(b)) for i, b in enumerate(total_bits)]
 
 
 def _bucket(n: int) -> int:
