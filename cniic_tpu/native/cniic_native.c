@@ -203,36 +203,6 @@ EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
     return produced;
 }
 
-/* ------------------------------------------------------------------ */
-/* open-addressing hash map: uint64 key -> int32 x 2 payload           */
-/* ------------------------------------------------------------------ */
-
-/* one 16-byte slot per entry: a probe costs one cache line, not three */
-typedef struct {
-    uint64_t key; /* 0 = empty (keys stored +1) */
-    int32_t v0;
-    int32_t v1;
-} MapSlot;
-
-typedef struct {
-    MapSlot *slots;
-    int64_t cap;     /* power of two */
-    int64_t count;
-} Map;
-
-static int map_init(Map *m, int64_t cap) {
-    int64_t c = 1024;
-    while (c < cap) c <<= 1;
-    m->slots = (MapSlot *)calloc((size_t)c, sizeof(MapSlot));
-    m->cap = c;
-    m->count = 0;
-    return m->slots != NULL;
-}
-
-static void map_destroy(Map *m) {
-    free(m->slots);
-}
-
 static inline uint64_t hash64(uint64_t k) {
     k ^= k >> 33;
     k *= 0xff51afd7ed558ccdULL;
@@ -240,47 +210,6 @@ static inline uint64_t hash64(uint64_t k) {
     k *= 0xc4ceb9fe1a85ec53ULL;
     k ^= k >> 33;
     return k;
-}
-
-static int map_grow(Map *m);
-
-/* Find slot for key; if absent and create!=0, insert with v0=d0,v1=d1.
- * Returns slot index, or -1 (absent, create==0) / -2 (OOM). */
-static int64_t map_slot(Map *m, uint64_t key, int create, int32_t d0, int32_t d1) {
-    uint64_t k1 = key + 1;
-    int64_t mask = m->cap - 1;
-    int64_t i = (int64_t)(hash64(k1) & (uint64_t)mask);
-    for (;;) {
-        MapSlot *s = &m->slots[i];
-        if (s->key == k1) return i;
-        if (s->key == 0) {
-            if (!create) return -1;
-            if (m->count * 10 >= m->cap * 7) {
-                if (!map_grow(m)) return -2;
-                return map_slot(m, key, create, d0, d1);
-            }
-            s->key = k1;
-            s->v0 = d0;
-            s->v1 = d1;
-            m->count++;
-            return i;
-        }
-        i = (i + 1) & mask;
-    }
-}
-
-static int map_grow(Map *m) {
-    Map n;
-    if (!map_init(&n, m->cap * 2)) return 0;
-    for (int64_t i = 0; i < m->cap; i++) {
-        if (m->slots[i].key) {
-            int64_t j = map_slot(&n, m->slots[i].key - 1, 1, m->slots[i].v0, m->slots[i].v1);
-            if (j < 0) { map_destroy(&n); return 0; }
-        }
-    }
-    map_destroy(m);
-    *m = n;
-    return 1;
 }
 
 /* ------------------------------------------------------------------ */
@@ -558,94 +487,30 @@ EXPORT int zip_dict_decode(const uint8_t *in, int64_t n,
 #define ZB_MINREP 6              /* MIN_REP (back.rs:143) */
 #define ZB_MAXLEN 32767          /* 15-bit length field (back.rs:44-49) */
 
-typedef struct {
-    int32_t *pos;   /* int32: zip streams are guarded < 2^31 bytes */
-    int64_t len, cap;
-    int64_t head;   /* lazily advanced past aged-out entries */
-} PosVec;
-
-typedef struct {
-    Map map;        /* key -> (vec index in pool, unused) */
-    PosVec *pool;
-    int64_t pool_used;  /* vecs live in the current generation */
-    int64_t pool_hi;    /* vecs ever allocated (buffers reused across clears) */
-    int64_t pool_cap;
-} Gen;
-
-static int gen_init(Gen *g) {
-    if (!map_init(&g->map, 1 << 14)) return 0;
-    g->pool_cap = 1024;
-    g->pool = (PosVec *)malloc((size_t)g->pool_cap * sizeof(PosVec));
-    g->pool_used = 0;
-    g->pool_hi = 0;
-    return g->pool != NULL;
-}
-
-static void gen_clear(Gen *g) {
-    g->pool_used = 0; /* position buffers stay allocated for the next gen */
-    memset(g->map.slots, 0, (size_t)g->map.cap * sizeof(MapSlot));
-    g->map.count = 0;
-}
-
-static void gen_destroy(Gen *g) {
-    for (int64_t i = 0; i < g->pool_hi; i++) free(g->pool[i].pos);
-    free(g->pool);
-    map_destroy(&g->map);
-}
-
-static int gen_add(Gen *g, uint64_t key, int64_t position) {
-    int64_t s = map_slot(&g->map, key, 1, -1, -1);
-    if (s < -1) return 0;
-    if (g->map.slots[s].v0 < 0) {
-        if (g->pool_used == g->pool_cap) {
-            g->pool_cap *= 2;
-            PosVec *np = (PosVec *)realloc(g->pool, (size_t)g->pool_cap * sizeof(PosVec));
-            if (!np) return 0;
-            g->pool = np;
-        }
-        PosVec *v = &g->pool[g->pool_used];
-        if (g->pool_used == g->pool_hi) { /* fresh entry: allocate its buffer */
-            v->cap = 8;
-            v->pos = (int32_t *)malloc((size_t)v->cap * sizeof(int32_t));
-            if (!v->pos) return 0;
-            g->pool_hi++;
-        }
-        v->len = 0;
-        v->head = 0;
-        g->map.slots[s].v0 = (int32_t)g->pool_used++;
-    }
-    PosVec *v = &g->pool[g->map.slots[s].v0];
-    if (v->len == v->cap) {
-        v->cap *= 2;
-        int32_t *np = (int32_t *)realloc(v->pos, (size_t)v->cap * sizeof(int32_t));
-        if (!np) return 0;
-        v->pos = np;
-    }
-    v->pos[v->len++] = (int32_t)position;
-    return 1;
-}
-
-static PosVec *gen_get(Gen *g, uint64_t key) {
-    int64_t s = map_slot(&g->map, key, 0, 0, 0);
-    if (s < 0) return NULL;
-    return &g->pool[g->map.slots[s].v0];
-}
-
 /* In the encoder the committed history is always exactly the already-
  * consumed input prefix (both the explicit-extend and lookback-commit paths
  * write input bytes in order, back.rs:176-179, 279-287), so the ring buffer
- * degenerates to a window [total-65535, total) over the input itself — no
- * ring storage, no per-byte modulo. Only the index positions need aging. */
-typedef struct {
-    const uint8_t *in;
-    int64_t n;       /* full input length (key helpers avoid tail overreads) */
-    int64_t total;   /* bytes committed to history so far (== input prefix) */
-    Gen old_gen, new_gen;     /* 6-byte keys: oldest-valid candidate lookup */
-    Gen old_gen7, new_gen7;   /* 7-byte keys: the >=7-length scan subset */
-} History;
+ * degenerates to a window [pos-65535, pos) over the input itself — no ring
+ * storage, no per-byte modulo. Better still, the candidate set a query at
+ * `pos` sees (every earlier position keyed by its 6-/7-byte prefix, windowed
+ * and capped by lim = pos - cand) depends only on the INPUT, never on the
+ * parse — so the whole index is built up front with one stable counting
+ * sort instead of the reference's two hash-map inserts per committed byte
+ * (back.rs:538-559; the per-byte maps were ~55% of encode time measured).
+ *
+ * Buckets key a 22-bit hash of the prefix; different keys may share a
+ * bucket, but collisions self-filter exactly:
+ *   - the 7-scan only accepts candidates whose measured match length
+ *     exceeds the running best (>= 7), which implies true 7-byte prefix
+ *     equality — a collider can never win;
+ *   - the 6-fallback verifies the 6-byte key per candidate.
+ * Window validity is a binary search over the (ascending) position list,
+ * replacing generation aging. */
+
+#define ZB_HBITS 22
 
 /* Prefix keys as a single little-endian load + mask (the key value is an
- * opaque map key: only insert/query consistency matters). The byte-fold
+ * opaque bucket key: only build/query consistency matters). The byte-fold
  * fallback keeps the last <8 bytes of the stream off the fast path. */
 static inline uint64_t keyat(const uint8_t *in, int64_t n, int64_t p, int bytes) {
     uint64_t k;
@@ -658,48 +523,57 @@ static inline uint64_t keyat(const uint8_t *in, int64_t n, int64_t p, int bytes)
     return k;
 }
 
-/* Commit input bytes [total, total+count) to history, updating the index
- * exactly as the reference does per byte (back.rs:538-559). */
-static int hist_commit(History *h, int64_t count) {
-    const uint8_t *in = h->in;
-    const int64_t n = h->n;
-    for (int64_t c = 0; c < count; c++) {
-        int64_t q = h->total++;
-        if (c + 1 < count && q >= ZB_MINREP) {
-            /* hide the next byte's map-probe cache misses (pure hint) */
-            uint64_t nk6 = keyat(in, n, q - ZB_MINREP + 2, ZB_MINREP);
-            uint64_t nk7 = keyat(in, n, q - ZB_MINREP + 1, ZB_MINREP + 1);
-            Map *m6 = &h->new_gen.map;
-            Map *m7 = &h->new_gen7.map;
-            __builtin_prefetch(&m6->slots[hash64(nk6 + 1) & (uint64_t)(m6->cap - 1)]);
-            __builtin_prefetch(&m7->slots[hash64(nk7 + 1) & (uint64_t)(m7->cap - 1)]);
-        }
-        if (q >= ZB_MINREP - 1) {
-            int64_t p = q - (ZB_MINREP - 1);
-            if (!gen_add(&h->new_gen, keyat(in, n, p, ZB_MINREP), p)) return 0;
-        }
-        if (q >= ZB_MINREP) {
-            int64_t p = q - ZB_MINREP;
-            if (!gen_add(&h->new_gen7, keyat(in, n, p, ZB_MINREP + 1), p)) return 0;
-        }
-        if (q % ZB_RING == 0 && h->new_gen.map.count > 0) {
-            /* wrap-around: age the generations. Every dropped entry is
-             * provably outside the 65535 window, so pruning timing cannot
-             * change any match result (validity is re-checked per lookup) */
-            gen_clear(&h->old_gen);
-            Gen tmp = h->old_gen;
-            h->old_gen = h->new_gen;
-            h->new_gen = tmp;
-            gen_clear(&h->old_gen7);
-            tmp = h->old_gen7;
-            h->old_gen7 = h->new_gen7;
-            h->new_gen7 = tmp;
-        }
+static inline uint32_t zb_bucket(uint64_t key) {
+    return (uint32_t)(hash64(key) >> (64 - ZB_HBITS));
+}
+
+typedef struct {
+    int32_t *pos;    /* positions, bucket-major, ascending within a bucket */
+    int32_t *off;    /* bucket start offsets, (1 << ZB_HBITS) + 1 entries */
+} PosIndex;
+
+static void posindex_destroy(PosIndex *ix) {
+    free(ix->pos);
+    free(ix->off);
+}
+
+/* Stable counting sort of [0, count) positions by prefix-key bucket.
+ * Two streaming passes; peak extra memory 4 bytes/byte of input per index
+ * (~an order of magnitude more than the generation maps, but bounded and
+ * linear — a 30 MB framed stream costs ~250 MB transiently). */
+static int posindex_build(PosIndex *ix, const uint8_t *in, int64_t n, int bytes) {
+    const int64_t nb = (int64_t)1 << ZB_HBITS;
+    int64_t count = n - bytes + 1;
+    if (count < 0) count = 0;
+    ix->off = (int32_t *)calloc((size_t)nb + 1, sizeof(int32_t));
+    ix->pos = (int32_t *)malloc((size_t)(count > 0 ? count : 1) * sizeof(int32_t));
+    int32_t *cursor = (int32_t *)malloc((size_t)nb * sizeof(int32_t));
+    if (!ix->off || !ix->pos || !cursor) {
+        free(cursor);
+        return 0;
     }
+    for (int64_t p = 0; p < count; p++)
+        ix->off[zb_bucket(keyat(in, n, p, bytes)) + 1]++;
+    for (int64_t b = 0; b < nb; b++) ix->off[b + 1] += ix->off[b];
+    memcpy(cursor, ix->off, (size_t)nb * sizeof(int32_t));
+    for (int64_t p = 0; p < count; p++)
+        ix->pos[cursor[zb_bucket(keyat(in, n, p, bytes))]++] = (int32_t)p;
+    free(cursor);
     return 1;
 }
 
-/* Match extension past the 7 bytes guaranteed by the exact 7-byte key. */
+/* First list slot with pos[i] >= limit (the list is ascending). */
+static inline int64_t zb_lower_bound(const int32_t *pos, int64_t lo, int64_t hi,
+                                     int64_t limit) {
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (pos[mid] < limit) lo = mid + 1;
+        else hi = mid;
+    }
+    return lo;
+}
+
+/* Match extension past the 7 bytes guaranteed by verified prefix equality. */
 static inline int64_t match_extend(const uint8_t *a, const uint8_t *c, int64_t lim) {
     int64_t l = ZB_MINREP + 1;
     while (l + 8 <= lim) {
@@ -713,24 +587,21 @@ static inline int64_t match_extend(const uint8_t *a, const uint8_t *c, int64_t l
     return l;
 }
 
-/* Longest match with the reference's winner rule (first strictly-longer
- * candidate in ascending-position order, back.rs:253-277), computed via two
- * exact shortcuts:
+/* Longest match with the reference's winner rule: the scan takes the first
+ * strictly-longer candidate in ascending-position order (back.rs:253-277),
+ * i.e. the earliest position achieving the maximum length. Two exact
+ * shortcuts (unchanged from the generation-map engine):
  *   - any candidate capable of a match >= 7 shares the query's 7-byte
- *     prefix, so only that exact-key subset is scanned in full; within it
- *     the global position order is preserved, so the winner for any max >= 7
- *     is identical to the full 6-key scan's. The scan itself pre-filters
+ *     prefix, so only that subset is scanned in full; the scan pre-filters
  *     8 candidates at a time (AVX2 gather of the byte each one must match
  *     at best_len to improve — the overwhelmingly common reject);
  *   - if the 7-subset yields nothing, every valid 6-key candidate matches
- *     exactly min(6, lim), so the winner is the oldest valid one — found in
- *     O(1) amortized via a lazily-advanced head pointer (positions are
- *     inserted in ascending order, so aged entries form a prefix). The
- *     6-level is only consulted on that fallback path. */
-static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
+ *     exactly min(6, lim), so the winner is the oldest valid one. */
+static int64_t best_match(const PosIndex *ix7, const PosIndex *ix6,
+                          const uint8_t *in, int64_t n, int64_t pos,
                           int64_t *back_out) {
     if (n - pos < ZB_MINREP) return 0;
-    const int64_t total = h->total;
+    const int64_t total = pos; /* history == consumed prefix */
     int64_t window_start = total > ZB_RING ? total - ZB_RING : 0;
     int64_t qcap = n - pos < ZB_MAXLEN ? n - pos : ZB_MAXLEN;
 
@@ -740,58 +611,58 @@ static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
 
     if (n - pos >= ZB_MINREP + 1) {
         uint64_t k7 = keyat(in, n, pos, ZB_MINREP + 1);
-        Gen *gens7[2] = {&h->old_gen7, &h->new_gen7};
-        for (int gi = 0; gi < 2; gi++) {
-            PosVec *v = gen_get(gens7[gi], k7);
-            if (!v) continue;
-            while (v->head < v->len && v->pos[v->head] < window_start) v->head++;
-            const int32_t *pp = v->pos;
-            int64_t i = v->head, len = v->len;
+        uint32_t b = zb_bucket(k7);
+        const int32_t *pp = ix7->pos;
+        /* candidates: same-bucket positions in [window_start, pos-7] */
+        int64_t i = zb_lower_bound(pp, ix7->off[b], ix7->off[b + 1], window_start);
+        int64_t len = zb_lower_bound(pp, i, ix7->off[b + 1], pos - ZB_MINREP);
 #if defined(__AVX2__)
-            const __m256i vff = _mm256_set1_epi32(0xFF);
-            while (i + 8 <= len) {
-                if (best_len >= qcap) break;
-                /* the dword gather reads in[cand+best_len .. +4): bail to
-                 * the scalar tail once candidates get that close to n */
-                if ((int64_t)pp[i + 7] + best_len + 4 > n) break;
-                __m256i vqb = _mm256_set1_epi32(qa[best_len]);
-                __m256i vcut = _mm256_set1_epi32((int32_t)(total - best_len));
-                __m256i vpos = _mm256_loadu_si256((const __m256i *)(pp + i));
-                __m256i g = _mm256_i32gather_epi32((const int *)(in + best_len), vpos, 1);
-                __m256i beq = _mm256_cmpeq_epi32(_mm256_and_si256(g, vff), vqb);
-                __m256i vlt = _mm256_cmpgt_epi32(vcut, vpos); /* lim > best_len */
-                int m = _mm256_movemask_ps(_mm256_castsi256_ps(_mm256_and_si256(beq, vlt)));
-                while (m) { /* pre-filter only: lanes re-validated exactly */
-                    int lane = __builtin_ctz((unsigned)m);
-                    m &= m - 1;
-                    int64_t cand = pp[i + lane];
-                    int64_t lim = total - cand;
-                    if (lim > qcap) lim = qcap;
-                    if (lim <= best_len) continue;
-                    if (in[cand + best_len] != qa[best_len]) continue;
-                    int64_t l = match_extend(qa, in + cand, lim);
-                    if (l > best_len) {
-                        best_len = l;
-                        best_pos = cand;
-                    }
-                }
-                i += 8;
-            }
-#endif
-            for (; i < len; i++) {
-                if (best_len >= qcap) break;
-                int64_t cand = pp[i];
-                int64_t lim = total - cand; /* no run past history end */
+        const __m256i vff = _mm256_set1_epi32(0xFF);
+        while (i + 8 <= len) {
+            if (best_len >= qcap) break;
+            /* the dword gather reads in[cand+best_len .. +4): bail to
+             * the scalar tail once candidates get that close to n */
+            if ((int64_t)pp[i + 7] + best_len + 4 > n) break;
+            __m256i vqb = _mm256_set1_epi32(qa[best_len]);
+            __m256i vcut = _mm256_set1_epi32((int32_t)(total - best_len));
+            __m256i vpos = _mm256_loadu_si256((const __m256i *)(pp + i));
+            __m256i g = _mm256_i32gather_epi32((const int *)(in + best_len), vpos, 1);
+            __m256i beq = _mm256_cmpeq_epi32(_mm256_and_si256(g, vff), vqb);
+            __m256i vlt = _mm256_cmpgt_epi32(vcut, vpos); /* lim > best_len */
+            int m = _mm256_movemask_ps(_mm256_castsi256_ps(_mm256_and_si256(beq, vlt)));
+            while (m) { /* pre-filter only: lanes re-validated exactly */
+                int lane = __builtin_ctz((unsigned)m);
+                m &= m - 1;
+                int64_t cand = pp[i + lane];
+                int64_t lim = total - cand;
                 if (lim > qcap) lim = qcap;
                 if (lim <= best_len) continue;
-                /* quick reject: to beat best_len the (best_len+1)-prefix
-                 * must match, so the byte at best_len must */
                 if (in[cand + best_len] != qa[best_len]) continue;
+                /* verify the 7-byte prefix (hash buckets mix keys) */
+                if (keyat(in, n, cand, ZB_MINREP + 1) != k7) continue;
                 int64_t l = match_extend(qa, in + cand, lim);
                 if (l > best_len) {
                     best_len = l;
                     best_pos = cand;
                 }
+            }
+            i += 8;
+        }
+#endif
+        for (; i < len; i++) {
+            if (best_len >= qcap) break;
+            int64_t cand = pp[i];
+            int64_t lim = total - cand; /* no run past history end */
+            if (lim > qcap) lim = qcap;
+            if (lim <= best_len) continue;
+            /* quick reject: to beat best_len the (best_len+1)-prefix
+             * must match, so the byte at best_len must */
+            if (in[cand + best_len] != qa[best_len]) continue;
+            if (keyat(in, n, cand, ZB_MINREP + 1) != k7) continue;
+            int64_t l = match_extend(qa, in + cand, lim);
+            if (l > best_len) {
+                best_len = l;
+                best_pos = cand;
             }
         }
     }
@@ -805,37 +676,30 @@ static int64_t best_match(History *h, const uint8_t *in, int64_t n, int64_t pos,
      * candidate, so the early no-candidate exit below is unchanged from a
      * full 6-then-7 scan) */
     uint64_t k6 = keyat(in, n, pos, ZB_MINREP);
-    int64_t first6 = -1;
-    Gen *gens6[2] = {&h->old_gen, &h->new_gen};
-    for (int gi = 0; gi < 2 && first6 < 0; gi++) {
-        PosVec *v = gen_get(gens6[gi], k6);
-        if (!v) continue;
-        while (v->head < v->len && v->pos[v->head] < window_start) v->head++;
-        if (v->head < v->len) first6 = v->pos[v->head];
+    uint32_t b6 = zb_bucket(k6);
+    const int32_t *p6 = ix6->pos;
+    int64_t i6 = zb_lower_bound(p6, ix6->off[b6], ix6->off[b6 + 1], window_start);
+    int64_t e6 = zb_lower_bound(p6, i6, ix6->off[b6 + 1], pos - (ZB_MINREP - 1));
+    for (; i6 < e6; i6++) { /* skip hash colliders: verify the exact key */
+        if (keyat(in, n, p6[i6], ZB_MINREP) == k6) {
+            *back_out = total - p6[i6];
+            return ZB_MINREP;
+        }
     }
-    if (first6 < 0 || total - first6 < ZB_MINREP) {
-        /* no candidate can reach MIN_REP (positions ascend, so the oldest
-         * valid one has the largest history headroom); the caller discards
-         * sub-MIN_REP results either way (back.rs:190-199) */
-        *back_out = 0;
-        return 0;
-    }
-    *back_out = total - first6;
-    return ZB_MINREP;
+    *back_out = 0;
+    return 0;
 }
 
 EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
                            uint8_t **out, int64_t *out_len) {
     if (n >= ((int64_t)1 << 31) - 16) return -1; /* int32 index positions */
-    History *h = (History *)calloc(1, sizeof(History));
+    PosIndex ix6 = {0}, ix7 = {0};
     Buf b;
-    if (!h) return -1;
-    h->in = in;
-    h->n = n;
-    if (!gen_init(&h->old_gen) || !gen_init(&h->new_gen) ||
-        !gen_init(&h->old_gen7) || !gen_init(&h->new_gen7) ||
+    if (!posindex_build(&ix6, in, n, ZB_MINREP) ||
+        !posindex_build(&ix7, in, n, ZB_MINREP + 1) ||
         !buf_init(&b, n / 2 + 64)) {
-        free(h);
+        posindex_destroy(&ix6);
+        posindex_destroy(&ix7);
         return -1;
     }
 
@@ -845,7 +709,7 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
 
     while (ok) {
         int64_t back;
-        int64_t mlen = best_match(h, in, n, pos, &back);
+        int64_t mlen = best_match(&ix7, &ix6, in, n, pos, &back);
         if (mlen >= ZB_MINREP) {
             /* flush explicit, then the lookback (back.rs:188-199) */
             if (exp_len > 0) {
@@ -853,23 +717,20 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
                 exp_len = 0;
             }
             if (ok) {
-                ok = hist_commit(h, mlen);
-                ok = ok && buf_push_u16le(&b, (uint16_t)(mlen | 0x8000)) &&
+                ok = buf_push_u16le(&b, (uint16_t)(mlen | 0x8000)) &&
                      buf_push_u16le(&b, (uint16_t)back);
                 pos += mlen;
             }
         } else {
-            /* extend explicit by doubling (back.rs:163-186), committing the
-             * bytes to history immediately; cap the explicit at 15 bits */
+            /* extend explicit by doubling (back.rs:163-186); cap at 15 bits */
             int64_t want = exp_len > 2 ? exp_len : 2;
             if (exp_len + want > ZB_MAXLEN) want = ZB_MAXLEN - exp_len;
             int64_t got = n - pos < want ? n - pos : want;
             if (exp_len == 0) exp_start = pos;
-            ok = hist_commit(h, got);
             pos += got;
             exp_len += got;
             if (exp_len == ZB_MAXLEN) {
-                ok = ok && buf_push_u16le(&b, (uint16_t)exp_len) &&
+                ok = buf_push_u16le(&b, (uint16_t)exp_len) &&
                      buf_push_all(&b, in + exp_start, exp_len);
                 exp_len = 0;
             }
@@ -882,11 +743,8 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
         }
     }
 
-    gen_destroy(&h->old_gen);
-    gen_destroy(&h->new_gen);
-    gen_destroy(&h->old_gen7);
-    gen_destroy(&h->new_gen7);
-    free(h);
+    posindex_destroy(&ix6);
+    posindex_destroy(&ix7);
     if (!ok) { free(b.data); return -1; }
     *out = b.data;
     *out_len = b.len;
