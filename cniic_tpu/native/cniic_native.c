@@ -221,18 +221,25 @@ static inline uint64_t hash64(uint64_t k) {
 /* Node-major trie storage, mirroring the shape of the reference's hybrid
  * TrieMap (dict.rs:442-553): per node a linear-scanned (key byte, edge)
  * list up to DT_THRESHOLD entries, then promoted to a direct 256-entry
- * array. Hot top-of-trie nodes stay cache-resident and dense nodes are
- * direct-indexed, unlike a flat (node, byte)->edge hash map whose probes
- * miss on every descent step. Storage only — match results are identical. */
+ * array. The measured trie is overwhelmingly SPARSE (avg 1.2 edges/node on
+ * framed streams), so the first DT_INLINE entries live inside the node
+ * itself: a descent step touches ONE cache line of the contiguous node
+ * array instead of chasing separate key/edge heap buffers (was 3 misses
+ * per step, ~80% of encode time). Storage only — match results are
+ * identical to the reference's map semantics. */
 #define DT_THRESHOLD 64
+#define DT_INLINE 4
 
 typedef struct { int32_t code, child; } DEdge; /* -1 = absent */
 
 typedef struct {
-    uint8_t *k;   /* partial: len key bytes; NULL once promoted to full */
-    DEdge *e;     /* partial: len edges; full: 256 direct-indexed edges */
-    int32_t len, cap;
-} DNode;
+    int16_t len;               /* live entries (256 once promoted full) */
+    int16_t cap;               /* DT_INLINE | 16..DT_THRESHOLD | 256 */
+    uint8_t k4[DT_INLINE];     /* inline keys while cap == DT_INLINE */
+    DEdge ie[DT_INLINE];       /* inline edges */
+    uint8_t *hk;               /* heap keys (partial heap mode) */
+    DEdge *he;                 /* heap edges (partial) / 256 direct (full) */
+} DNode;                       /* 56 bytes: one cache line per step */
 
 typedef struct {
     DNode *nodes;
@@ -245,63 +252,81 @@ static int dnode_full(DictTrie *t, int32_t id) {
     DEdge *full = (DEdge *)malloc(256 * sizeof(DEdge));
     if (!full) return 0;
     for (int b = 0; b < 256; b++) { full[b].code = -1; full[b].child = -1; }
-    for (int32_t i = 0; i < nd->len; i++) full[nd->k[i]] = nd->e[i];
-    free(nd->k);
-    free(nd->e);
-    nd->k = NULL;
-    nd->e = full;
+    const uint8_t *ks = nd->cap == DT_INLINE ? nd->k4 : nd->hk;
+    const DEdge *es = nd->cap == DT_INLINE ? nd->ie : nd->he;
+    for (int32_t i = 0; i < nd->len; i++) full[ks[i]] = es[i];
+    free(nd->hk);
+    free(nd->he);
+    nd->hk = NULL;
+    nd->he = full;
     nd->len = 256;
     nd->cap = 256;
     return 1;
 }
 
-/* Edge for (node, byte); created (absent code/child) when create != 0. */
+/* Edge for (node, byte); created (absent code/child) when create != 0.
+ * NOTE: the returned pointer may live inside t->nodes[id] (inline mode) —
+ * it is invalidated by anything that can grow the nodes array. */
 static DEdge *dnode_edge(DictTrie *t, int32_t id, uint8_t b, int create) {
     DNode *nd = &t->nodes[id];
-    if (!nd->k && nd->e) return &nd->e[b]; /* full node: direct-indexed */
+    if (nd->cap == 256) return &nd->he[b]; /* full node: direct-indexed */
+    uint8_t *ks = nd->cap == DT_INLINE ? nd->k4 : nd->hk;
+    DEdge *es = nd->cap == DT_INLINE ? nd->ie : nd->he;
     for (int32_t i = 0; i < nd->len; i++)
-        if (nd->k[i] == b) return &nd->e[i];
+        if (ks[i] == b) return &es[i];
     if (!create) return NULL;
     if (nd->len == DT_THRESHOLD) {
         if (!dnode_full(t, id)) return NULL;
-        return &t->nodes[id].e[b];
+        return &nd->he[b];
     }
     if (nd->len == nd->cap) {
-        int32_t ncap = nd->cap ? nd->cap * 2 : 4;
-        uint8_t *nk = (uint8_t *)realloc(nd->k, (size_t)ncap);
+        int32_t ncap = nd->cap == DT_INLINE ? 16 : nd->cap * 2;
+        uint8_t *nk = (uint8_t *)realloc(nd->hk, (size_t)ncap);
         if (!nk) return NULL;
-        nd->k = nk;
-        DEdge *ne = (DEdge *)realloc(nd->e, (size_t)ncap * sizeof(DEdge));
+        nd->hk = nk;
+        DEdge *ne = (DEdge *)realloc(nd->he, (size_t)ncap * sizeof(DEdge));
         if (!ne) return NULL;
-        nd->e = ne;
-        nd->cap = ncap;
+        nd->he = ne;
+        if (nd->cap == DT_INLINE) { /* spill the inline entries */
+            memcpy(nd->hk, nd->k4, DT_INLINE);
+            memcpy(nd->he, nd->ie, DT_INLINE * sizeof(DEdge));
+        }
+        nd->cap = (int16_t)ncap;
+        ks = nd->hk;
+        es = nd->he;
     }
-    nd->k[nd->len] = b;
-    nd->e[nd->len].code = -1;
-    nd->e[nd->len].child = -1;
-    return &nd->e[nd->len++];
+    ks[nd->len] = b;
+    es[nd->len].code = -1;
+    es[nd->len].child = -1;
+    return &es[nd->len++];
+}
+
+/* Ensure one more node can be created without moving the nodes array
+ * (callers hold DEdge pointers into it across dnode_new). */
+static int trie_reserve(DictTrie *t) {
+    if (t->n_nodes < t->node_cap) return 1;
+    int32_t ncap = t->node_cap * 2;
+    DNode *nn = (DNode *)realloc(t->nodes, (size_t)ncap * sizeof(DNode));
+    if (!nn) return 0;
+    t->nodes = nn;
+    t->node_cap = ncap;
+    return 1;
 }
 
 static int32_t dnode_new(DictTrie *t) {
-    if (t->n_nodes == t->node_cap) {
-        int32_t ncap = t->node_cap * 2;
-        DNode *nn = (DNode *)realloc(t->nodes, (size_t)ncap * sizeof(DNode));
-        if (!nn) return -1;
-        t->nodes = nn;
-        t->node_cap = ncap;
-    }
+    if (!trie_reserve(t)) return -1;
     DNode *nd = &t->nodes[t->n_nodes];
-    nd->k = NULL;
-    nd->e = NULL;
     nd->len = 0;
-    nd->cap = 0;
+    nd->cap = DT_INLINE;
+    nd->hk = NULL;
+    nd->he = NULL;
     return t->n_nodes++;
 }
 
 static void trie_destroy(DictTrie *t) {
     for (int32_t i = 0; i < t->n_nodes; i++) {
-        free(t->nodes[i].k);
-        free(t->nodes[i].e);
+        free(t->nodes[i].hk);
+        free(t->nodes[i].he);
     }
     free(t->nodes);
 }
@@ -316,7 +341,7 @@ static int trie_init(DictTrie *t) {
     if (!dnode_full(t, 0)) return 0; /* root is dense by construction */
     /* 256 single-byte symbols (dict.rs:44-47) */
     for (int b = 0; b < 256; b++)
-        t->nodes[0].e[b].code = (int32_t)t->counter++;
+        t->nodes[0].he[b].code = (int32_t)t->counter++;
     return 1;
 }
 
@@ -336,14 +361,15 @@ static int32_t trie_find(DictTrie *t, const uint8_t *in, int64_t n, int64_t pos,
     while (p < n) {
         const DNode *nd = &t->nodes[node];
         const DEdge *ed;
-        if (!nd->k) {
-            if (!nd->e) break; /* fresh node: no edges yet */
-            ed = &nd->e[in[p]];
+        if (nd->cap == 256) {
+            ed = &nd->he[in[p]];
             if (ed->code < 0 && ed->child < 0) break; /* absent */
         } else {
+            const uint8_t *ks = nd->cap == DT_INLINE ? nd->k4 : nd->hk;
+            const DEdge *es = nd->cap == DT_INLINE ? nd->ie : nd->he;
             ed = NULL;
             for (int32_t i = 0; i < nd->len; i++)
-                if (nd->k[i] == in[p]) { ed = &nd->e[i]; break; }
+                if (ks[i] == in[p]) { ed = &es[i]; break; }
             if (!ed) break;
         }
         if (ed->code >= 0) {
@@ -367,6 +393,9 @@ static int trie_insert_hint(DictTrie *t, int32_t hint, const uint8_t *in,
                             int64_t s1_last, int64_t e2, int32_t code) {
     int32_t node = hint;
     for (int64_t i = s1_last; i < e2 - 1; i++) {
+        /* reserve BEFORE taking the edge pointer: inline edges live inside
+         * the nodes array, which dnode_new may otherwise move */
+        if (!trie_reserve(t)) return 0;
         DEdge *ed = dnode_edge(t, node, in[i], 1);
         if (!ed) return 0;
         if (ed->child < 0) {
