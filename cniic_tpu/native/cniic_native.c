@@ -17,9 +17,12 @@
  *                        the two sequences of each emitted pair, 0xFFFF EOF
  *                        marker for odd-length symbol streams.
  *   - zip_back_*:        LZ77 engine (reference src/zip/back.rs): 65535-byte
- *                        ring history, 6-byte-prefix index with two aging
- *                        generations, greedy longest-match >= 6, explicit
- *                        runs grown by doubling.
+ *                        window over the input, greedy longest-match >= 6,
+ *                        explicit runs grown by doubling. Match-finding is
+ *                        parse-independent, so the candidate index is one
+ *                        up-front counting sort of positions by hashed
+ *                        6-byte prefix (window validity by binary search)
+ *                        instead of the reference's per-byte map inserts.
  *   - approx_rle_encode: running-average approximate RLE recurrence
  *                        (reference src/codec/hilbertc.rs:200-285).
  *
@@ -602,9 +605,10 @@ static inline int64_t zb_lower_bound(const int32_t *pos, int64_t lo, int64_t hi,
     return lo;
 }
 
-/* Match extension past the 7 bytes guaranteed by verified prefix equality. */
+/* Full-match extension (the index buckets hash-mix keys, so nothing is
+ * known about a candidate's prefix until compared). */
 static inline int64_t match_extend(const uint8_t *a, const uint8_t *c, int64_t lim) {
-    int64_t l = ZB_MINREP + 1;
+    int64_t l = 0;
     while (l + 8 <= lim) {
         uint64_t xa, xc;
         memcpy(&xa, a + l, 8);
@@ -618,17 +622,19 @@ static inline int64_t match_extend(const uint8_t *a, const uint8_t *c, int64_t l
 
 /* Longest match with the reference's winner rule: the scan takes the first
  * strictly-longer candidate in ascending-position order (back.rs:253-277),
- * i.e. the earliest position achieving the maximum length. Two exact
- * shortcuts (unchanged from the generation-map engine):
- *   - any candidate capable of a match >= 7 shares the query's 7-byte
- *     prefix, so only that subset is scanned in full; the scan pre-filters
- *     8 candidates at a time (AVX2 gather of the byte each one must match
- *     at best_len to improve — the overwhelmingly common reject);
- *   - if the 7-subset yields nothing, every valid 6-key candidate matches
- *     exactly min(6, lim), so the winner is the oldest valid one. */
-static int64_t best_match(const PosIndex *ix7, const PosIndex *ix6,
-                          const uint8_t *in, int64_t n, int64_t pos,
-                          int64_t *back_out) {
+ * i.e. the earliest position achieving the maximum length. One bucket walk
+ * serves both levels of the reference's semantics:
+ *   - the >=7 scan pre-filters 8 candidates at a time (AVX2 gather of the
+ *     byte each one must match at best_len to improve — the overwhelmingly
+ *     common reject) and measures survivors with a full compare, so hash
+ *     colliders can never win (an update needs length > 6, which implies
+ *     true 6-byte key equality and beyond);
+ *   - if nothing exceeds 6, every valid 6-key candidate matches exactly
+ *     min(6, lim), so the winner is the oldest valid one — the first
+ *     genuine entry of the windowed range (a short scalar walk; colliders
+ *     are rare at 22 hash bits). */
+static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
+                          int64_t pos, int64_t *back_out) {
     if (n - pos < ZB_MINREP) return 0;
     const int64_t total = pos; /* history == consumed prefix */
     int64_t window_start = total > ZB_RING ? total - ZB_RING : 0;
@@ -638,13 +644,19 @@ static int64_t best_match(const PosIndex *ix7, const PosIndex *ix6,
     int64_t best_pos = -1;
     const uint8_t *qa = in + pos;
 
+    uint64_t k6 = keyat(in, n, pos, ZB_MINREP);
+    uint32_t b = zb_bucket(k6);
+    const int32_t *pp = ix6->pos;
+    /* candidates: same-bucket positions in [window_start, pos-6] */
+    int64_t lo = zb_lower_bound(pp, ix6->off[b], ix6->off[b + 1], window_start);
+    int64_t hi = zb_lower_bound(pp, lo, ix6->off[b + 1], pos - (ZB_MINREP - 1));
+
+    int64_t first6 = -1;
+    for (int64_t i = lo; i < hi; i++)
+        if (keyat(in, n, pp[i], ZB_MINREP) == k6) { first6 = pp[i]; break; }
+
     if (n - pos >= ZB_MINREP + 1) {
-        uint64_t k7 = keyat(in, n, pos, ZB_MINREP + 1);
-        uint32_t b = zb_bucket(k7);
-        const int32_t *pp = ix7->pos;
-        /* candidates: same-bucket positions in [window_start, pos-7] */
-        int64_t i = zb_lower_bound(pp, ix7->off[b], ix7->off[b + 1], window_start);
-        int64_t len = zb_lower_bound(pp, i, ix7->off[b + 1], pos - ZB_MINREP);
+        int64_t i = lo, len = hi;
 #if defined(__AVX2__)
         const __m256i vff = _mm256_set1_epi32(0xFF);
         while (i + 8 <= len) {
@@ -667,8 +679,6 @@ static int64_t best_match(const PosIndex *ix7, const PosIndex *ix6,
                 if (lim > qcap) lim = qcap;
                 if (lim <= best_len) continue;
                 if (in[cand + best_len] != qa[best_len]) continue;
-                /* verify the 7-byte prefix (hash buckets mix keys) */
-                if (keyat(in, n, cand, ZB_MINREP + 1) != k7) continue;
                 int64_t l = match_extend(qa, in + cand, lim);
                 if (l > best_len) {
                     best_len = l;
@@ -687,7 +697,6 @@ static int64_t best_match(const PosIndex *ix7, const PosIndex *ix6,
             /* quick reject: to beat best_len the (best_len+1)-prefix
              * must match, so the byte at best_len must */
             if (in[cand + best_len] != qa[best_len]) continue;
-            if (keyat(in, n, cand, ZB_MINREP + 1) != k7) continue;
             int64_t l = match_extend(qa, in + cand, lim);
             if (l > best_len) {
                 best_len = l;
@@ -699,36 +708,22 @@ static int64_t best_match(const PosIndex *ix7, const PosIndex *ix6,
         *back_out = total - best_pos;
         return best_len;
     }
-
-    /* no >=7 match: the winner (if any) is the oldest valid 6-key candidate
-     * at exactly MIN_REP (a valid 7-key candidate is always also a 6-key
-     * candidate, so the early no-candidate exit below is unchanged from a
-     * full 6-then-7 scan) */
-    uint64_t k6 = keyat(in, n, pos, ZB_MINREP);
-    uint32_t b6 = zb_bucket(k6);
-    const int32_t *p6 = ix6->pos;
-    int64_t i6 = zb_lower_bound(p6, ix6->off[b6], ix6->off[b6 + 1], window_start);
-    int64_t e6 = zb_lower_bound(p6, i6, ix6->off[b6 + 1], pos - (ZB_MINREP - 1));
-    for (; i6 < e6; i6++) { /* skip hash colliders: verify the exact key */
-        if (keyat(in, n, p6[i6], ZB_MINREP) == k6) {
-            *back_out = total - p6[i6];
-            return ZB_MINREP;
-        }
+    if (first6 < 0) {
+        *back_out = 0;
+        return 0;
     }
-    *back_out = 0;
-    return 0;
+    *back_out = total - first6;
+    return ZB_MINREP;
 }
 
 EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
                            uint8_t **out, int64_t *out_len) {
     if (n >= ((int64_t)1 << 31) - 16) return -1; /* int32 index positions */
-    PosIndex ix6 = {0}, ix7 = {0};
+    PosIndex ix6 = {0};
     Buf b;
     if (!posindex_build(&ix6, in, n, ZB_MINREP) ||
-        !posindex_build(&ix7, in, n, ZB_MINREP + 1) ||
         !buf_init(&b, n / 2 + 64)) {
         posindex_destroy(&ix6);
-        posindex_destroy(&ix7);
         return -1;
     }
 
@@ -738,7 +733,7 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
 
     while (ok) {
         int64_t back;
-        int64_t mlen = best_match(&ix7, &ix6, in, n, pos, &back);
+        int64_t mlen = best_match(&ix6, in, n, pos, &back);
         if (mlen >= ZB_MINREP) {
             /* flush explicit, then the lookback (back.rs:188-199) */
             if (exp_len > 0) {
@@ -773,7 +768,6 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
     }
 
     posindex_destroy(&ix6);
-    posindex_destroy(&ix7);
     if (!ok) { free(b.data); return -1; }
     *out = b.data;
     *out_len = b.len;
