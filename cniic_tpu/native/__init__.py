@@ -63,6 +63,8 @@ def _load() -> ctypes.CDLL:
 
         lib.huf_decode.argtypes = [u8p, i64, i32p, i32p, i32p, i64, ctypes.c_int32, i64, i32p]
         lib.huf_decode.restype = i64
+        lib.huf_decode_fast.argtypes = lib.huf_decode.argtypes
+        lib.huf_decode_fast.restype = i64
 
         for name in ("zip_dict_encode", "zip_dict_decode", "zip_back_encode", "zip_back_decode"):
             fn = getattr(lib, name)
@@ -127,8 +129,12 @@ def gilbert_curve(w: int, h: int) -> np.ndarray:
 
 
 def huf_decode(payload: bytes | np.ndarray, left: np.ndarray, right: np.ndarray,
-               symbol: np.ndarray, root: int, n_symbols: int) -> np.ndarray:
-    """Walk the Huffman trie over an MSB-first payload; returns symbol ids."""
+               symbol: np.ndarray, root: int, n_symbols: int,
+               fast: bool = True) -> np.ndarray:
+    """Decode an MSB-first payload into symbol ids. Default is the 10-bit
+    prefix-table decoder (huf_decode_fast); fast=False forces the plain
+    bit-serial trie walk (the conformance oracle — both decode identical
+    ids for any valid preorder tree, pinned by tests)."""
     lib = _load()
     pay = np.frombuffer(bytes(payload), dtype=np.uint8) if not isinstance(payload, np.ndarray) else payload
     pay = np.ascontiguousarray(pay, dtype=np.uint8)
@@ -136,7 +142,8 @@ def huf_decode(payload: bytes | np.ndarray, left: np.ndarray, right: np.ndarray,
     right = np.ascontiguousarray(right, dtype=np.int32)
     symbol = np.ascontiguousarray(symbol, dtype=np.int32)
     out = np.empty(n_symbols, dtype=np.int32)
-    got = lib.huf_decode(
+    fn = lib.huf_decode_fast if fast else lib.huf_decode
+    got = fn(
         _as_u8p(pay), pay.size, _as_i32p(left), _as_i32p(right), _as_i32p(symbol),
         left.size, root, n_symbols, _as_i32p(out))
     if got < 0:

@@ -206,6 +206,115 @@ EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
     return produced;
 }
 
+/* Table-accelerated decode: a 10-bit prefix lookup resolves any code of
+ * <= 10 bits (the common case at image entropies) in one load + shift;
+ * longer codes continue the trie walk from the internal node the prefix
+ * lands on. Works for ANY preorder prefix tree (reference streams
+ * included), not just our canonical ones, and decodes bit-for-bit the same
+ * symbols as huf_decode (tests pin the equality). ~4x the bit-serial walk.
+ */
+#define HD_BITS 10
+#define HD_SIZE (1 << HD_BITS)
+
+EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
+                               const int32_t *left, const int32_t *right,
+                               const int32_t *symbol, int64_t n_nodes,
+                               int32_t root, int64_t n_symbols, int32_t *out) {
+    if (root < 0 || root >= n_nodes) return -1;
+    if (symbol[root] >= 0) { /* single-symbol alphabet: zero-length codes */
+        for (int64_t i = 0; i < n_symbols; i++) out[i] = symbol[root];
+        return n_symbols;
+    }
+
+    int32_t *tsym = (int32_t *)malloc(HD_SIZE * sizeof(int32_t));
+    uint8_t *tlen = (uint8_t *)malloc(HD_SIZE);
+    int32_t *tnode = (int32_t *)malloc(HD_SIZE * sizeof(int32_t));
+    /* fill stack: (node, depth, prefix) */
+    int32_t *snode = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
+    int32_t *sdep = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
+    int32_t *spre = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
+    if (!tsym || !tlen || !tnode || !snode || !sdep || !spre) {
+        free(tsym); free(tlen); free(tnode);
+        free(snode); free(sdep); free(spre);
+        return -1;
+    }
+    int64_t sp = 0;
+    snode[sp] = root; sdep[sp] = 0; spre[sp] = 0; sp++;
+    int bad = 0;
+    while (sp > 0 && !bad) {
+        sp--;
+        int32_t nd = snode[sp], d = sdep[sp], pre = spre[sp];
+        if (nd < 0 || nd >= n_nodes) { bad = 1; break; }
+        if (symbol[nd] >= 0) { /* leaf: fill the whole prefix range */
+            int32_t lo = pre << (HD_BITS - d);
+            int32_t hi = (pre + 1) << (HD_BITS - d);
+            for (int32_t i = lo; i < hi; i++) {
+                tsym[i] = symbol[nd];
+                tlen[i] = (uint8_t)d;
+            }
+        } else if (d == HD_BITS) {
+            tsym[pre] = -1;
+            tnode[pre] = nd;
+        } else {
+            snode[sp] = left[nd]; sdep[sp] = d + 1; spre[sp] = pre << 1; sp++;
+            snode[sp] = right[nd]; sdep[sp] = d + 1; spre[sp] = (pre << 1) | 1; sp++;
+        }
+    }
+    free(snode); free(sdep); free(spre);
+    if (bad) {
+        free(tsym); free(tlen); free(tnode);
+        return -1;
+    }
+
+    int64_t total_bits = payload_len * 8;
+    int64_t bitpos = 0, produced = 0;
+    while (produced < n_symbols && bitpos + 24 <= total_bits) {
+        int64_t idx = bitpos >> 3;
+        int off = (int)(bitpos & 7);
+        uint32_t w24 = ((uint32_t)payload[idx] << 16) |
+                       ((uint32_t)payload[idx + 1] << 8) |
+                       (uint32_t)payload[idx + 2];
+        uint32_t w = (w24 >> (24 - HD_BITS - off)) & (HD_SIZE - 1);
+        int32_t s = tsym[w];
+        if (s >= 0) {
+            out[produced++] = s;
+            bitpos += tlen[w];
+        } else {
+            int32_t node = tnode[w];
+            bitpos += HD_BITS;
+            while (symbol[node] < 0) {
+                if (bitpos >= total_bits) goto tail_done;
+                int bit = (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
+                bitpos++;
+                node = bit ? right[node] : left[node];
+                if (node < 0 || node >= n_nodes) {
+                    free(tsym); free(tlen); free(tnode);
+                    return -1;
+                }
+            }
+            out[produced++] = symbol[node];
+        }
+    }
+    /* tail: the last <24 bits, decoded with the plain walk */
+    while (produced < n_symbols) {
+        int32_t node = root;
+        while (symbol[node] < 0) {
+            if (bitpos >= total_bits) goto tail_done;
+            int bit = (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
+            bitpos++;
+            node = bit ? right[node] : left[node];
+            if (node < 0 || node >= n_nodes) {
+                free(tsym); free(tlen); free(tnode);
+                return -1;
+            }
+        }
+        out[produced++] = symbol[node];
+    }
+tail_done:
+    free(tsym); free(tlen); free(tnode);
+    return produced;
+}
+
 static inline uint64_t hash64(uint64_t k) {
     k ^= k >> 33;
     k *= 0xff51afd7ed558ccdULL;

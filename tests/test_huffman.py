@@ -149,3 +149,47 @@ def test_batch_encode_ragged(rng):
         payloads, ids = huffman.decode_stream(s, 6, k.size)
         decoded_keys = payloads[ids][:, 0].astype(np.uint32)
         assert np.array_equal(decoded_keys, k)
+
+
+def test_fast_decode_matches_walker():
+    """huf_decode_fast (10-bit prefix table) must decode the exact same ids
+    as the bit-serial walker on arbitrary trees: skewed frequencies (deep
+    codes past the table depth), uniform ones, tiny alphabets, and
+    truncated payloads (EOF mid-code)."""
+    import numpy as np
+
+    from cniic_tpu import huffman, native
+
+    rng = np.random.default_rng(9)
+    cases = []
+    # skewed: geometric frequencies -> code lengths far beyond 10 bits
+    u = 40
+    freqs = (2.0 ** np.arange(u)).astype(np.uint64)
+    ids = rng.integers(0, u, 5000)
+    cases.append((freqs, ids))
+    # uniform small
+    freqs = np.full(300, 7, np.uint64)
+    cases.append((freqs, rng.integers(0, 300, 4096)))
+    # two symbols (1-bit codes)
+    cases.append((np.array([3, 9], np.uint64), rng.integers(0, 2, 999)))
+
+    for freqs, ids in cases:
+        book = huffman.build_codebook(freqs)
+        leafs = np.zeros((freqs.size, 1), np.uint8)
+        tree = huffman.serialize_tree(book, leafs)
+        payload = huffman.encode_payload(ids.astype(np.int32), book, device=False)
+        left, right, symbol, _, _ = huffman.parse_tree(
+            np.frombuffer(tree, np.uint8), 1)
+        slow = native.huf_decode(payload, left, right, symbol, 0, ids.size,
+                                 fast=False)
+        fast = native.huf_decode(payload, left, right, symbol, 0, ids.size,
+                                 fast=True)
+        np.testing.assert_array_equal(fast, slow)
+        # truncated payload: same partial output
+        if len(payload) > 4:
+            cut = payload[: len(payload) // 2]
+            slow = native.huf_decode(cut, left, right, symbol, 0, ids.size,
+                                     fast=False)
+            fast = native.huf_decode(cut, left, right, symbol, 0, ids.size,
+                                     fast=True)
+            np.testing.assert_array_equal(fast, slow)
