@@ -97,7 +97,22 @@ def encode_payload(symbol_ids: np.ndarray, book: Codebook, device: bool = True,
 
 
 def decode_payload(payload, left, right, symbol, n_symbols: int) -> np.ndarray:
-    """Bit-serial decode; returns preorder-leaf ids per decoded symbol."""
+    """Decode the payload into preorder-leaf ids.
+
+    Default: the native 10-bit prefix-table decoder. With
+    CNIIC_DEVICE_HUF_DECODE=1 the self-synchronizing chunked on-chip
+    decoder (ops/hufdec.py) runs first and the host path is its fallback
+    (the device decoder wins on compute but loses to the tunnel's transfer
+    costs on this bench host — BENCH_NOTES.md)."""
+    import os
+
+    if os.environ.get("CNIIC_DEVICE_HUF_DECODE", "") == "1":
+        from .ops import hufdec
+
+        out = hufdec.decode_payload_device(payload, left, right, symbol,
+                                           n_symbols)
+        if out is not None:
+            return out
     root = 0
     out = native.huf_decode(payload, left, right, symbol, root, n_symbols)
     if out.size != n_symbols:
