@@ -83,10 +83,17 @@ class Hilbert(Codec):
 
     def encode_batch(self, imgs) -> list[bytes]:
         """Approximate RLE can encode whole batches in one lane-parallel
-        Pallas sweep (ops/approx_rle.py). The kernel is opt-in
-        (CNIIC_PALLAS_RLE=1) while the compiled-vs-interpret divergence on
-        real hardware is being chased — the exact native engine is both the
-        conformance oracle and currently the fastest path (~45 MP/s host)."""
+        Pallas sweep (ops/approx_rle.py). The kernel stays opt-in
+        (CNIIC_PALLAS_RLE=1) on measured grounds (r2, v5e, 8x1MP batch):
+        3.5 MP/s vs 33 MP/s for the exact f64 C engine — real workloads
+        carry a handful of streams, not the 128+ the lane layout needs —
+        and its f32 acceptance boundary legitimately rounds a few records
+        per million differently from the reference's f64 recurrence, so it
+        can never be the conformance path. Splitting one image into 1024
+        speculative chunks could close the throughput gap but not the
+        exactness gap (Mosaic has no f64). Refutation details in
+        BENCH_NOTES.md; the kernel remains as the validated pattern for a
+        stack with f64 lanes."""
         import os
 
         if (self.mode != "rle" or self.allow == 0.0 or len(imgs) < 2
