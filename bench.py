@@ -106,7 +106,7 @@ def main() -> int:
                     blobs = codec.encode_batch(imgs)
                     enc_trials.append(time.perf_counter() - t0)
                     t0 = time.perf_counter()
-                    decs = [codec.decode(b) for b in blobs]
+                    decs = codec.decode_batch(blobs)
                     dec_trials.append(time.perf_counter() - t0)
                 enc_s = float(np.median(enc_trials))
                 dec_s = float(np.median(dec_trials))

@@ -37,6 +37,11 @@ class Codec(abc.ABC):
         """
         return [self.encode(img) for img in imgs]
 
+    def decode_batch(self, blobs) -> list[np.ndarray]:
+        """Decode a batch of streams (default: sequential loop; device
+        decoders override to amortize dispatch round trips)."""
+        return [self.decode(b) for b in blobs]
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"<codec {self.name}>"
 

@@ -145,7 +145,8 @@ class VoronoiCluster(Codec):
                 out[i] = self._serialize(w, h, c)
         return out
 
-    def decode(self, data) -> np.ndarray:
+    @staticmethod
+    def _parse(data):
         r = wire.ByteReader(data)
         w, h = r.dims()
         k = r.u64()
@@ -155,7 +156,27 @@ class VoronoiCluster(Codec):
             xy[i, 0] = r.u32()
             xy[i, 1] = r.u32()
             colors[i] = r.rgb()
+        return w, h, xy, colors
+
+    def decode(self, data) -> np.ndarray:
+        w, h, xy, colors = self._parse(data)
         return voronoi.reconstruct(xy, colors, w, h)
+
+    def decode_batch(self, blobs) -> list[np.ndarray]:
+        """Shape-bucketed vmapped reconstruction: one device program + one
+        image fetch per bucket instead of a tunnel round trip per image."""
+        parsed = [self._parse(b) for b in blobs]
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, (w, h, _, _) in enumerate(parsed):
+            buckets.setdefault((w, h), []).append(i)
+        out: list[np.ndarray | None] = [None] * len(blobs)
+        for (w, h), idxs in buckets.items():
+            imgs = voronoi.reconstruct_batch(
+                [parsed[i][2] for i in idxs], [parsed[i][3] for i in idxs],
+                w, h)
+            for i, im in zip(idxs, imgs):
+                out[i] = im
+        return out
 
     @property
     def name(self) -> str:

@@ -44,17 +44,40 @@ def _reconstruct(cx, cy, colors, kmask, w: int, h: int):
     return colors[best[:n]]
 
 
+_reconstruct_vmapped = functools.partial(jax.jit, static_argnames=("w", "h"))(
+    jax.vmap(_reconstruct.__wrapped__, in_axes=(0, 0, 0, 0, None, None)))
+
+
+def _pad_batch(centroids_list, colors_list):
+    k_max = max(c.shape[0] for c in centroids_list)
+    k_pad = max(-(-k_max // 128) * 128, 128)
+    B = len(centroids_list)
+    cx = np.zeros((B, k_pad), dtype=np.uint32)
+    cy = np.zeros((B, k_pad), dtype=np.uint32)
+    cols = np.zeros((B, k_pad, 3), dtype=np.uint8)
+    kmask = np.zeros((B, k_pad), dtype=bool)
+    for b, (cxy, cl) in enumerate(zip(centroids_list, colors_list)):
+        k = cxy.shape[0]
+        cx[b, :k] = cxy[:, 0]
+        cy[b, :k] = cxy[:, 1]
+        cols[b, :k] = cl
+        kmask[b, :k] = True
+    return cx, cy, cols, kmask
+
+
 def reconstruct(centroids_xy: np.ndarray, colors: np.ndarray, w: int, h: int) -> np.ndarray:
     """centroids_xy uint32[k, 2], colors uint8[k, 3] -> uint8[h, w, 3]."""
-    k = centroids_xy.shape[0]
-    k_pad = max(-(-k // 128) * 128, 128)
-    cx = np.zeros(k_pad, dtype=np.uint32)
-    cy = np.zeros(k_pad, dtype=np.uint32)
-    cx[:k] = centroids_xy[:, 0]
-    cy[:k] = centroids_xy[:, 1]
-    cols = np.zeros((k_pad, 3), dtype=np.uint8)
-    cols[:k] = colors
-    kmask = np.zeros(k_pad, dtype=bool)
-    kmask[:k] = True
-    out = _reconstruct(jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(cols), jnp.asarray(kmask), w, h)
-    return np.asarray(out).reshape(h, w, 3)
+    return reconstruct_batch([centroids_xy], [colors], w, h)[0]
+
+
+def reconstruct_batch(centroids_list, colors_list, w: int, h: int):
+    """Same-shape batch decode: one vmapped device program + one image
+    fetch instead of a dispatch round trip per image (the tunnel costs
+    ~0.1 s per sync, which dominated per-image voronoi decode).
+    Returns a list of uint8[h, w, 3]."""
+    cx, cy, cols, kmask = _pad_batch(centroids_list, colors_list)
+    out = _reconstruct_vmapped(
+        jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(cols),
+        jnp.asarray(kmask), w, h)
+    arr = np.asarray(out).reshape(len(centroids_list), h, w, 3)
+    return list(arr)

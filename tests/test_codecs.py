@@ -229,3 +229,14 @@ def test_kmeans_codec_batch_matches_single(spec, rng):
     batched = codec.encode_batch(imgs)
     singles = [codec.encode(im) for im in imgs]
     assert batched == singles
+
+
+def test_voronoi_decode_batch_matches_single(rng):
+    codec = from_spec("voronoi(8)")
+    imgs = [rng.integers(0, 256, (24, 32, 3)).astype(np.uint8) for _ in range(3)]
+    imgs.append(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+    blobs = codec.encode_batch(imgs)
+    batched = codec.decode_batch(blobs)
+    singles = [codec.decode(b) for b in blobs]
+    for b, s in zip(batched, singles):
+        np.testing.assert_array_equal(b, s)
