@@ -87,13 +87,26 @@ def parse_tree(data, leaf_size: int):
 
 def encode_payload(symbol_ids: np.ndarray, book: Codebook, device: bool = True,
                    total_bits: int | None = None) -> bytes:
-    """Pack the symbol stream with the codebook (device path by default)."""
+    """Pack the symbol stream with the codebook.
+
+    Default: the native C packer (~5 ns/symbol). The original XLA
+    prefix-sum + segment-scatter packer remains behind
+    CNIIC_DEVICE_BITPACK=1 (parity-pinned by tests); measured end-to-end it
+    loses ~20x on this stack — TPU scatters run ~30M elem/s and the id
+    upload over the tunnel costs more than the whole host pack
+    (BENCH_NOTES.md: entropy coding is host work in this design).
+    device=False keeps the vectorized-numpy oracle.
+    """
+    import os
+
     if symbol_ids.size == 0:
         return b""
-    if device:
+    if not device:
+        return bitpack.pack_bits_numpy(book.codes[symbol_ids], book.lens[symbol_ids])
+    if os.environ.get("CNIIC_DEVICE_BITPACK", "") == "1":
         return bitpack.pack_bits_device(symbol_ids.astype(np.int32),
                                         book.codes, book.lens, total_bits)
-    return bitpack.pack_bits_numpy(book.codes[symbol_ids], book.lens[symbol_ids])
+    return native.pack_bits(book.codes, book.lens, symbol_ids)
 
 
 def decode_payload(payload, left, right, symbol, n_symbols: int) -> np.ndarray:
@@ -168,7 +181,15 @@ def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
             total_bits.append(int(np.asarray(freqs, np.uint64) @ book.lens))
 
     with trace.span("huffman.pack"):
-        payloads = bitpack.pack_bits_batch(ids, codes, lens, total_bits)
+        import os
+
+        if os.environ.get("CNIIC_DEVICE_BITPACK", "") == "1":
+            payloads = bitpack.pack_bits_batch(ids, codes, lens, total_bits)
+        else:
+            payloads = [
+                native.pack_bits(codes[i], lens[i],
+                                 ids[i, : ids_list[i].size].astype(np.int32))
+                for i in range(B)]
     return [t + p for t, p in zip(trees, payloads)]
 
 

@@ -102,6 +102,8 @@ def _load() -> ctypes.CDLL:
         lib.huf_canonical.restype = ctypes.c_int
         lib.huf_tree_parse.argtypes = [u8p, i64, i64, i32p, i32p, i32p, i64p, i64, i64p]
         lib.huf_tree_parse.restype = i64
+        lib.pack_bits.argtypes = [u64p, u32p, i32p, i64, u8p]
+        lib.pack_bits.restype = i64
 
         lib.cniic_buf_free.argtypes = [u8p]
         lib.cniic_buf_free.restype = None
@@ -149,6 +151,23 @@ def huf_decode(payload: bytes | np.ndarray, left: np.ndarray, right: np.ndarray,
     if got < 0:
         raise ValueError("malformed Huffman stream")
     return out[:got]
+
+
+def pack_bits(codes: np.ndarray, lens: np.ndarray, ids: np.ndarray) -> bytes:
+    """MSB-first bit-pack of a symbol-id stream (bit.rs semantics). The
+    output buffer is sized from the worst case (max code length x symbols);
+    the C engine reports the exact byte count."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    lens = np.ascontiguousarray(lens, dtype=np.uint32)
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    cap = (int(lens.max(initial=0)) * ids.size + 7) // 8 + 1
+    out = np.empty(max(cap, 1), dtype=np.uint8)
+    got = lib.pack_bits(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _as_i32p(ids), ids.size, _as_u8p(out))
+    return out[:got].tobytes()
 
 
 def _roundtrip_call(name: str, data) -> bytes:
