@@ -1,3 +1,7 @@
+# Adapted from the reference Makefile: the sweep lists, CSV target names and
+# .bak/.cp caching pattern ARE the experiment protocol (SURVEY §2.1 #21), so
+# variable names and rule structure intentionally mirror the original; the
+# voronoi->cluster-colors.bak copy-paste bug is deliberately not reproduced.
 # Experiment matrix driver (reference Makefile rebuilt for cniic-tpu).
 #
 # Same sweep lists, same CSV-per-codec protocol, same `.bak`/`.cp` result

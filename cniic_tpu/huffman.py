@@ -1,17 +1,22 @@
 """Huffman coding pipeline (reference src/huf.rs rebuilt TPU-first).
 
-Split of responsibilities:
+Split of responsibilities (the round-2 measured division of labor —
+entropy stages are scatter/gather-bound and live on the host, BENCH_NOTES):
 
-* **host (native C)**: optimal code lengths via the two-queue method over
-  sorted frequencies, canonical code assignment, preorder tree emission and
-  parsing, and the bit-serial decode walk (huf.rs:187-206 is inherently
-  sequential). Any optimal code has the same total payload bits as the
-  reference's heap-built code (sum freq*len is invariant across optimal
-  prefix codes), so compressed sizes match to within final-byte padding; we
-  pin a deterministic canonical tree instead of chasing Rust's BinaryHeap
+* **host (native C)**: LSD-radix histogramming, optimal code lengths via
+  the two-queue method over sorted frequencies, canonical code assignment,
+  preorder tree emission/parsing, the ~5 ns/symbol bit packer, and the
+  10-bit prefix-table decoder (bit-serial walker kept as oracle). Any
+  optimal code has the same total payload bits as the reference's
+  heap-built code (sum freq*len is invariant across optimal prefix codes),
+  so compressed sizes match to within final-byte padding; we pin a
+  deterministic canonical tree instead of chasing Rust's BinaryHeap
   tie-breaking (see SURVEY.md §7.3 item 5).
-* **device (XLA)**: the per-symbol hot loop — code/length gather and bit
-  packing — runs as prefix-sum + segment-sum scatter (ops/bitpack.py).
+* **device (XLA/Pallas, env-gated patterns)**: the prefix-sum +
+  segment-scatter packer (ops/bitpack.py, CNIIC_DEVICE_BITPACK=1) and the
+  chunked self-synchronizing decoder (ops/hufdec.py,
+  CNIIC_DEVICE_HUF_DECODE=1), both parity-tested and both measured slower
+  than the C paths on this stack (TPU scatter/gather ~30M elem/s).
 
 Wire format is byte-identical to the reference: the decoder trie serialized
 preorder (tag 0 = leaf + payload, 1 = branch; huf.rs:296-321) followed by the
