@@ -1045,7 +1045,9 @@ EXPORT int64_t hist_u32(const uint32_t *keys, int64_t n,
     if (n <= 0) return 0;
     uint64_t *a = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
     uint64_t *b = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
-    int64_t *hist = (int64_t *)malloc(256 * sizeof(int64_t));
+    /* 12-bit digits: 24-bit color keys sort in 2 passes instead of 3 and
+     * the 4096-counter table still lives in L1 */
+    int64_t *hist = (int64_t *)malloc(4096 * sizeof(int64_t));
     if (!a || !b || !hist) { free(a); free(b); free(hist); return -1; }
 
     uint32_t all_or = 0;
@@ -1053,15 +1055,15 @@ EXPORT int64_t hist_u32(const uint32_t *keys, int64_t n,
         a[i] = ((uint64_t)keys[i] << 32) | (uint64_t)(uint32_t)i;
         all_or |= keys[i];
     }
-    int passes = all_or > 0xFFFFFF ? 4 : (all_or > 0xFFFF ? 3 : (all_or > 0xFF ? 2 : 1));
+    int passes = all_or > 0xFFFFFF ? 3 : (all_or > 0xFFF ? 2 : 1);
 
     for (int p = 0; p < passes; p++) {
-        int shift = 32 + 8 * p;
-        memset(hist, 0, 256 * sizeof(int64_t));
-        for (int64_t i = 0; i < n; i++) hist[(a[i] >> shift) & 0xFF]++;
+        int shift = 32 + 12 * p;
+        memset(hist, 0, 4096 * sizeof(int64_t));
+        for (int64_t i = 0; i < n; i++) hist[(a[i] >> shift) & 0xFFF]++;
         int64_t sum = 0;
-        for (int j = 0; j < 256; j++) { int64_t c = hist[j]; hist[j] = sum; sum += c; }
-        for (int64_t i = 0; i < n; i++) b[hist[(a[i] >> shift) & 0xFF]++] = a[i];
+        for (int j = 0; j < 4096; j++) { int64_t c = hist[j]; hist[j] = sum; sum += c; }
+        for (int64_t i = 0; i < n; i++) b[hist[(a[i] >> shift) & 0xFFF]++] = a[i];
         uint64_t *t = a; a = b; b = t;
     }
 
