@@ -292,13 +292,14 @@ def _stop_threshold(n: int) -> int:
     return max(n >> 10, 0)
 
 
-def _pallas_block(n_pad: int, k: int, pk: int, batch: int) -> int:
+def _pallas_block(n_pad: int, k: int, pk: int, batch: int, d2b: int) -> int:
     """Kernel point-block size for the fused Pallas iteration, or 0 to use
-    the XLA path. Auto-enabled on accelerators (the kernel needs the packed
-    argmin's int32 bound); CNIIC_PALLAS_KMEANS=0 forces XLA, =1 forces the
-    kernel (interpret mode off-TPU — used by the parity tests)."""
+    the XLA path. Auto-enabled on accelerators; the kernel's single packed
+    key (score*2pk + tiebreak, score <= 2*d2b) needs (d2b+1)*4*pk < 2^31.
+    CNIIC_PALLAS_KMEANS=0 forces XLA, =1 forces the kernel (interpret mode
+    off-TPU — used by the parity tests)."""
     mode = os.environ.get("CNIIC_PALLAS_KMEANS", "")
-    if mode == "0" or pk == 0:
+    if mode == "0" or pk == 0 or (d2b + 1) * 4 * pk >= 2**31:
         return 0
     if mode != "1" and jax.default_backend() == "cpu":
         return 0
@@ -308,7 +309,7 @@ def _pallas_block(n_pad: int, k: int, pk: int, batch: int) -> int:
 
 
 def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
-           vp: int, wp: int, pk: int, max_iters: int):
+           vp: int, wp: int, pk: int, d2b: int, max_iters: int):
     """Host burst driver around the device iteration loop.
 
     The convergence loop runs on device in bounded bursts: a single XLA
@@ -332,7 +333,7 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
         from ..parallel import mesh as pmesh
 
         mesh = pmesh.batch_mesh(B)
-    bs_p = _pallas_block(pts_i.shape[1], k, pk, B)
+    bs_p = _pallas_block(pts_i.shape[1], k, pk, B, d2b)
     if mesh is not None:
         # multi-chip: lanes over devices (the reference's rayon-over-images,
         # bench.rs:22-27, as data parallelism) — GSPMD partitions the
@@ -359,7 +360,8 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
         def run_burst(cur, cents, moved_seed, it):
             return kmeans_pallas.kmeans_loop_pallas(
                 ptsT, w, cur, cents, n_dev, thresh_dev, moved_seed,
-                jnp.int32(it), k, burst, bs_p, vp, wp, pk, interpret=interp)
+                jnp.int32(it), k, burst, bs_p, vp, wp, pk, d2b=d2b,
+                interpret=interp)
     else:
         def run_burst(cur, cents, moved_seed, it):
             return _kmeans_loop(
@@ -430,7 +432,7 @@ def _prep_host_batch(points_list, k: int, weights_list):
         for p in points_list)
     bs, vp, wp, pk = plan_params(max_val, max_w, d2_bound, k)
 
-    n_pad = -(-int(ns.max()) // bs) * bs
+    n_pad = -(-int(ns.max()) // bs) * bs  # noqa: E501 — keep layout
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
     w = np.zeros((B, n_pad), dtype=np.int32)
     valid = np.zeros((B, n_pad), dtype=bool)
@@ -465,7 +467,7 @@ def _prep_host_batch(points_list, k: int, weights_list):
     valid_dev = jnp.asarray(valid)
     cents_dev = jnp.asarray(cents)
     return (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, ns,
-            bs, vp, wp, pk)
+            bs, vp, wp, pk, d2_bound)
 
 
 def _check_active(active: int, k: int, n: int) -> None:
@@ -491,10 +493,10 @@ def kmeans_batch(points_list, k: int, weights_list=None,
     weights_list: optional list of (n_i,) positive integer frequency weights.
     Returns a list of (centroids int64[k, d], assignment int32[n_i], iters).
     """
-    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk) = \
+    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
         _prep_host_batch(points_list, k, weights_list)
     it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
-                            ns, k, bs, vp, wp, pk, max_iters)
+                            ns, k, bs, vp, wp, pk, d2b, max_iters)
     cents_np = np.array(cents).astype(np.int64)
     assign_np = np.asarray(cur)
     out = []
@@ -597,7 +599,7 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
         jnp.asarray(imgs), k, bs)
     ns = np.full(B, n, np.int64)
     it, cur, cents = _drive(pts_f, pts_i, w_dev, valid, cur, cents,
-                            ns, k, bs, vp, wp, pk, max_iters)
+                            ns, k, bs, vp, wp, pk, d2_bound, max_iters)
     actives = np.asarray(_active_counts(cur, valid, k))
     for b in range(B):
         _check_active(int(actives[b]), k, n)

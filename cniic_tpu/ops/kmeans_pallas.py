@@ -13,11 +13,17 @@ out (~25 MB/iteration at 590k x 128 x 5).
 Exactness is inherited, not re-argued: the base-32 hi/lo bf16 split makes
 every MXU partial product exact regardless of Mosaic's matmul precision
 mode (the round-1 kernel failed because it relied on Precision.HIGHEST,
-which Mosaic ignores — ROADMAP.md #3), the f32 accumulations stay below
-2^24, and the packed min (d2*pk + idx, pk = next pow2 >= k with
-d2_bound*pk < 2^31 guaranteed by the caller) reproduces argmin's
-first-index tie rule. The statistics dot (one-hot^T @ digit planes)
-accumulates 0/1 x <=255 values over <=2048-point blocks (< 2^24, exact in
+which Mosaic ignores — ROADMAP.md #3). The cross term is ONE matmul over a
+4d contraction with the x32 scale riding the operands (multiples of 32
+below 2048 are exact bf16; all terms nonnegative, so every f32 prefix sum
+is <= pc <= d2_bound < 2^24 and stays integral). Points are scored with
+|p-c|^2 - |p|^2 + d2_bound (ordering-equivalent per point, two fewer
+(k, bs) passes), and ONE packed min over score*2pk + tiebreak — with the
+current centroid's tiebreak forced to 0 — implements argmin + the
+strict-move/stay-on-tie rule in a single reduction (caller guarantees
+(d2_bound+1)*4pk < 2^31). Lanes whose stop rule has fired skip their whole
+block via pl.when. The statistics dot (one-hot^T @ digit planes)
+accumulates 0/1 x <=255 values over <=4096-point blocks (< 2^24, exact in
 f32) into an int32 VMEM scratch across grid steps.
 
 Layouts are TPU-native: points ride transposed (d, n) so the lane dimension
@@ -43,9 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .kmeans import _means_from_sums
 
 
-def _kernel(n_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
+def _kernel(n_ref, act_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
             new_ref, sums_ref, moved_ref, acc_ref, mv_ref,
-            *, B: int, k: int, vp: int, wp: int, pk: int, bs: int, nb: int):
+            *, B: int, k: int, vp: int, wp: int, pk: int, bs: int, nb: int,
+            d2b: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -59,10 +66,10 @@ def _kernel(n_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
     F32TH = jnp.float32(1.0 / 32.0)
     F32 = jnp.float32(32.0)
     I0 = jnp.int32(0)
-    IMAX = jnp.int32(2**31 - 1)
     PK = jnp.int32(pk)
-    PKM = jnp.int32(pk - 1)
-    PKSH = jnp.int32(pk.bit_length() - 1)  # pk is a power of two
+    PK2 = jnp.int32(2 * pk)
+    PK2M = jnp.int32(2 * pk - 1)
+    B0 = jnp.float32(d2b)  # score shift: |p-c|^2 - |p|^2 + B0 >= 0
     M8 = jnp.int32(0xFF)
     bf = jnp.bfloat16
     dn = (((1,), (0,)), ((), ()))          # (k,d) x (d,bs) contract d
@@ -71,6 +78,11 @@ def _kernel(n_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
     pos = jnp.int32(bs) * i + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
 
     for b in range(B):  # static unroll over the (small) image-batch axis
+      # frozen lanes (stop rule fired) skip their whole block — the while
+      # body selects the carried state for them, so the unwritten outputs
+      # are never observed
+      @pl.when(act_ref[b] > 0)
+      def _(b=b):
         n = n_ref[b]
         p = ptsT_ref[b]                    # (d, bs) f32, integer-valued
         wv = w_ref[b : b + 1, :]           # (1, bs) int32 (0 on padding)
@@ -83,28 +95,36 @@ def _kernel(n_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
         csq = jnp.sum(c * c, axis=1, keepdims=True)        # (k, 1)
         p_hi = jnp.floor(p * F32TH)
         p_lo = p - p_hi * F32
-        psq = jnp.sum(p * p, axis=0, keepdims=True)        # (1, bs)
 
-        m_hh = jax.lax.dot_general(c_hi.astype(bf), p_hi.astype(bf), dn,
-                                   preferred_element_type=jnp.float32)
-        m_mix = jax.lax.dot_general(
-            jnp.concatenate([c_lo, c_hi], axis=1).astype(bf),
-            jnp.concatenate([p_hi, p_lo], axis=0).astype(bf), dn,
-            preferred_element_type=jnp.float32)
-        m_ll = jax.lax.dot_general(c_lo.astype(bf), p_lo.astype(bf), dn,
-                                   preferred_element_type=jnp.float32)
-        pc = jnp.float32(1024.0) * m_hh + F32 * m_mix + m_ll   # (k, bs)
-        d2 = (psq - pc) + (csq - pc)                       # exact integers
-        d2i = d2.astype(jnp.int32)
+        # ONE matmul over a 4d contraction instead of three over d (each
+        # pads its tiny contraction dim to the MXU anyway): the scale rides
+        # the operands as 32*hi — a multiple of 32 below 2048, exact in
+        # bf16 — every partial product is exact in f32, all terms are
+        # nonnegative, and every prefix sum is <= pc <= d2b < 2^24, so the
+        # accumulated cross term stays an exact integer.
+        ca = jnp.concatenate([c_hi * F32, c_hi * F32, c_lo, c_lo], axis=1)
+        pb = jnp.concatenate([p_hi * F32, p_lo, p_hi * F32, p_lo], axis=0)
+        pc = jax.lax.dot_general(ca.astype(bf), pb.astype(bf), dn,
+                                 preferred_element_type=jnp.float32)  # (k, bs)
+        # |p|^2 is constant across centroids, so ordering (and the strict-
+        # move comparison, which is within one point) is unchanged by
+        # scoring with |p-c|^2 - |p|^2 + B0 = csq + B0 - 2*pc — two fewer
+        # (k, bs) passes than assembling full d2. Exact: values in
+        # [0, 2*d2b] < 2^24 stay integral in f32.
+        score = ((csq + B0) - pc) - pc                     # (k, bs)
+        si = score.astype(jnp.int32)
 
+        # one packed min implements argmin + the strict-move rule: the key
+        # is (score, tiebreak) with the CURRENT centroid's tiebreak forced
+        # to 0, so at equal score cur wins (ties keep the cluster) and
+        # otherwise the smallest index among the winners is chosen —
+        # identical decisions to argmin-then-strictly-closer. The caller
+        # guarantees (d2b+1)*4*pk < 2^31 so keys stay int32.
         kidx = jax.lax.broadcasted_iota(jnp.int32, (k, bs), 0)
-        packed = jnp.min(d2i * PK + kidx, axis=0, keepdims=True)  # (1, bs)
-        best = packed & PKM
-        bestd = packed >> PKSH
-        # current-centroid distance without a gather: select cur's d2 row
-        curd = jnp.min(jnp.where(kidx == cur, d2i, IMAX), axis=0,
-                       keepdims=True)
-        new = jnp.where(bestd < curd, best, cur)           # strict move only
+        sel = jnp.where(kidx == cur, I0, PK + kidx)
+        kmin = jnp.min(si * PK2 + sel, axis=0, keepdims=True)  # (1, bs)
+        r = kmin & PK2M
+        new = jnp.where(r >= PK, r - PK, cur)
         new = jnp.where(pos < n, new, I0)
         new_ref[b : b + 1, :] = new
         # keepdims + scalar extract: a rank-0 jnp.sum emits an i64 convert
@@ -131,8 +151,8 @@ def _kernel(n_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
             moved_ref[b : b + 1, :] = jnp.full((1, 128), mv_ref[b], jnp.int32)
 
 
-def _assign_stats(ptsT, w, cur, cents_f, n1, *, k: int, vp: int, wp: int,
-                  pk: int, bs: int, interpret: bool):
+def _assign_stats(ptsT, w, cur, cents_f, n1, act, *, k: int, vp: int,
+                  wp: int, pk: int, bs: int, d2b: int, interpret: bool):
     """One fused assignment+stats step over the whole batch.
 
     ptsT f32[B, d, n_pad], w int32[B, n_pad], cur int32[B, n_pad],
@@ -144,7 +164,7 @@ def _assign_stats(ptsT, w, cur, cents_f, n1, *, k: int, vp: int, wp: int,
     nb = n_pad // bs
     F = vp * d + wp
     kern = functools.partial(_kernel, B=B, k=k, vp=vp, wp=wp, pk=pk,
-                             bs=bs, nb=nb)
+                             bs=bs, nb=nb, d2b=d2b)
     # index maps derive 0 from the (int32) grid index: literal 0 traces as
     # an i64 constant under x64, which the Mosaic legalizer rejects
     return pl.pallas_call(
@@ -153,6 +173,8 @@ def _assign_stats(ptsT, w, cur, cents_f, n1, *, k: int, vp: int, wp: int,
         in_specs=[
             pl.BlockSpec((B,), lambda i: (i * 0,),
                          memory_space=pltpu.SMEM),                  # n (B,)
+            pl.BlockSpec((B,), lambda i: (i * 0,),
+                         memory_space=pltpu.SMEM),                  # act (B,)
             pl.BlockSpec((B, d, bs), lambda i: (i * 0, i * 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, bs), lambda i: (i * 0, i),
@@ -180,7 +202,7 @@ def _assign_stats(ptsT, w, cur, cents_f, n1, *, k: int, vp: int, wp: int,
             pltpu.SMEM((B,), jnp.int32),
         ],
         interpret=interpret,
-    )(n1, ptsT, w, cur, cents_f)
+    )(n1, act, ptsT, w, cur, cents_f)
 
 
 @jax.jit
@@ -190,10 +212,10 @@ def to_ptsT(pts_i):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp",
-                                             "wp", "pk", "interpret"))
+                                             "wp", "pk", "d2b", "interpret"))
 def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, it0,
                        k: int, max_iters: int, bs: int, vp: int, wp: int,
-                       pk: int, interpret: bool = False):
+                       pk: int, d2b: int = 0, interpret: bool = False):
     """Drop-in replacement for ops.kmeans._kmeans_loop with the fused
     kernel as the iteration body (same freeze-on-threshold semantics; the
     means/empty-repair tail is the shared _means_from_sums)."""
@@ -204,9 +226,11 @@ def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, it0,
 
     def body(state):
         it, cur, cents_i, moved = state
+        act = moved > thresh
         new, sums, mv = _assign_stats(
             ptsT, w, cur, cents_i.astype(jnp.float32), n,
-            k=k, vp=vp, wp=wp, pk=pk, bs=bs, interpret=interpret)
+            act.astype(jnp.int32),
+            k=k, vp=vp, wp=wp, pk=pk, bs=bs, d2b=d2b, interpret=interpret)
 
         def lane_means(sums_b, ptsT_b, n_b):
             return _means_from_sums(
@@ -214,7 +238,6 @@ def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, it0,
                 k, it, n_b, vp, wp)
 
         cents_new, _ = jax.vmap(lane_means)(sums, ptsT, n)
-        act = moved > thresh
         cur = jnp.where(act[:, None], new, cur)
         cents_i = jnp.where(act[:, None, None], cents_new, cents_i)
         moved = jnp.where(act, mv[:, 0], moved)

@@ -32,7 +32,7 @@ def test_assign_stats_matches_iteration(k, d, weighted):
     rng = np.random.default_rng(3)
     B, n = 2, 300
     pts, ws = _mk_batch(rng, B, n, d, k, 256, weighted)
-    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk) = \
+    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
         km._prep_host_batch(pts, k, ws if weighted else None)
     assert pk, "packed argmin must be available at these bounds"
     bs_p = 128
@@ -42,7 +42,8 @@ def test_assign_stats_matches_iteration(k, d, weighted):
     new_p, sums_p, mv_p = kp._assign_stats(
         ptsT, w, cur, cents.astype(jnp.float32),
         jnp.asarray(ns.astype(np.int32)),
-        k=k, vp=vp, wp=wp, pk=pk, bs=bs_p, interpret=True)
+        jnp.asarray(np.ones(B, np.int32)),
+        k=k, vp=vp, wp=wp, pk=pk, bs=bs_p, d2b=d2b, interpret=True)
 
     for b in range(B):
         new_x, cents_x, _, moved_x = km._iteration(

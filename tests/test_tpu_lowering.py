@@ -76,7 +76,7 @@ def test_kmeans_pallas_kernel_lowers_for_tpu():
     moved0 = jnp.asarray(np.full(B, n_pad, np.int32))
     f = jax.jit(functools.partial(
         kp.kmeans_loop_pallas.__wrapped__, k=k, max_iters=8, bs=2048,
-        vp=2, wp=1, pk=128, interpret=False))
+        vp=2, wp=1, pk=128, d2b=1 << 21, interpret=False))
     text = _lower_tpu(f, ptsT, w, cur, cents, n, thresh, moved0,
                       jnp.int32(0)).as_text()
     assert "tpu_custom_call" in text or "mosaic" in text.lower()
