@@ -295,11 +295,13 @@ def _stop_threshold(n: int) -> int:
 def _pallas_block(n_pad: int, k: int, pk: int, batch: int, d2b: int) -> int:
     """Kernel point-block size for the fused Pallas iteration, or 0 to use
     the XLA path. Auto-enabled on accelerators; the kernel's single packed
-    key (score*2pk + tiebreak, score <= 2*d2b) needs (d2b+1)*4*pk < 2^31.
-    CNIIC_PALLAS_KMEANS=0 forces XLA, =1 forces the kernel (interpret mode
-    off-TPU — used by the parity tests)."""
+    key (score*2pk + tiebreak, |score| <= d2b) needs (d2b+1)*2*pk < 2^31,
+    and the one-matmul cross term needs d2b < 2^24 (pc exactness) — both
+    hold through DIV2K-sized voronoi(128). CNIIC_PALLAS_KMEANS=0 forces
+    XLA, =1 forces the kernel (interpret mode off-TPU — parity tests)."""
     mode = os.environ.get("CNIIC_PALLAS_KMEANS", "")
-    if mode == "0" or pk == 0 or (d2b + 1) * 4 * pk >= 2**31:
+    if (mode == "0" or pk == 0 or (d2b + 1) * 2 * pk >= 2**31
+            or d2b >= 1 << 24):
         return 0
     if mode != "1" and jax.default_backend() == "cpu":
         return 0

@@ -69,7 +69,6 @@ def _kernel(n_ref, act_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
     PK = jnp.int32(pk)
     PK2 = jnp.int32(2 * pk)
     PK2M = jnp.int32(2 * pk - 1)
-    B0 = jnp.float32(d2b)  # score shift: |p-c|^2 - |p|^2 + B0 >= 0
     M8 = jnp.int32(0xFF)
     bf = jnp.bfloat16
     dn = (((1,), (0,)), ((), ()))          # (k,d) x (d,bs) contract d
@@ -108,10 +107,12 @@ def _kernel(n_ref, act_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
                                  preferred_element_type=jnp.float32)  # (k, bs)
         # |p|^2 is constant across centroids, so ordering (and the strict-
         # move comparison, which is within one point) is unchanged by
-        # scoring with |p-c|^2 - |p|^2 + B0 = csq + B0 - 2*pc — two fewer
-        # (k, bs) passes than assembling full d2. Exact: values in
-        # [0, 2*d2b] < 2^24 stay integral in f32.
-        score = ((csq + B0) - pc) - pc                     # (k, bs)
+        # scoring with |p-c|^2 - |p|^2 = csq - 2*pc — two fewer (k, bs)
+        # passes than assembling full d2. Exact: |values| <= d2b < 2^24
+        # stay integral in f32; the packed key below works for NEGATIVE
+        # scores too (si*2pk has zero low bits, so adding the tiebreak
+        # sets them exactly even in two's complement).
+        score = (csq - pc) - pc                            # (k, bs)
         si = score.astype(jnp.int32)
 
         # one packed min implements argmin + the strict-move rule: the key
@@ -119,7 +120,7 @@ def _kernel(n_ref, act_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
         # to 0, so at equal score cur wins (ties keep the cluster) and
         # otherwise the smallest index among the winners is chosen —
         # identical decisions to argmin-then-strictly-closer. The caller
-        # guarantees (d2b+1)*4*pk < 2^31 so keys stay int32.
+        # guarantees (d2b+1)*2*pk < 2^31 so keys stay int32.
         kidx = jax.lax.broadcasted_iota(jnp.int32, (k, bs), 0)
         sel = jnp.where(kidx == cur, I0, PK + kidx)
         kmin = jnp.min(si * PK2 + sel, axis=0, keepdims=True)  # (1, bs)
