@@ -131,11 +131,19 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
     res.encode_s += enc_s
     res.megapixels += sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
 
-    for p, img, data in zip(names, imgs, blobs):
+    try:
+        t1 = time.perf_counter()
+        decoded_all = codec.decode_batch(blobs)
+        res.decode_s += time.perf_counter() - t1
+    except Exception:
+        decoded_all = [None] * len(blobs)  # per-image path reports the error
+
+    for p, img, data, decoded in zip(names, imgs, blobs, decoded_all):
         try:
-            t1 = time.perf_counter()
-            decoded = codec.decode(data)
-            res.decode_s += time.perf_counter() - t1
+            if decoded is None:
+                t1 = time.perf_counter()
+                decoded = codec.decode(data)
+                res.decode_s += time.perf_counter() - t1
             h, w = img.shape[:2]
             ratio = len(data) / (w * h * 24)
             error = compute_error(img, decoded)
