@@ -213,7 +213,7 @@ EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
  * included), not just our canonical ones, and decodes bit-for-bit the same
  * symbols as huf_decode (tests pin the equality). ~4x the bit-serial walk.
  */
-#define HD_BITS 10
+#define HD_BITS 12
 #define HD_SIZE (1 << HD_BITS)
 
 EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
