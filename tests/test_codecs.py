@@ -240,3 +240,28 @@ def test_voronoi_decode_batch_matches_single(rng):
     singles = [codec.decode(b) for b in blobs]
     for b, s in zip(batched, singles):
         np.testing.assert_array_equal(b, s)
+
+
+@pytest.mark.parametrize("spec", ["zip(dict)", "zip(back)", "hufman", "delta",
+                                  "hilbert(rle)", "hilbert(zip)",
+                                  "cluster-colors(4)", "voronoi(4)"])
+def test_decode_survives_fuzz(spec, rng):
+    """Arbitrary bytes fed to decode must raise a clean Python error (or
+    decode to something) — never crash the process. Exercises the C
+    decoders' bounds checks and the wire readers."""
+    codec = from_spec(spec)
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    good = bytearray(codec.encode(img))
+    cases = [b"", b"\x00", bytes(rng.integers(0, 256, 64, dtype=np.uint8))]
+    # truncations and single-byte corruptions of a real stream
+    cases += [bytes(good[:n]) for n in (1, 7, 9, len(good) // 2)]
+    for pos in range(0, len(good), max(len(good) // 7, 1)):
+        bad = bytearray(good)
+        bad[pos] ^= 0x5A
+        cases.append(bytes(bad))
+    for data in cases:
+        try:
+            out = codec.decode(data)
+            assert isinstance(out, np.ndarray)
+        except Exception:
+            pass  # clean failure is fine; crashing the process is not
