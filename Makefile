@@ -34,7 +34,7 @@ LOSSLESS_DIAGRAM = output/boxplot.png
 LOSSY_DIAGRAM = output/error_vs_compression.png
 TRACKED_DIAGRAMS = lossy_status.png lossless_status.png
 
-RUN = time python -m cniic_tpu
+RUN = python -m cniic_tpu --batch=4
 DATASET = data/DIV2K_valid_HR/*
 
 LOSSLESS_CODECS = $(HUFMAN) $(ZIP_DICT) $(ZIP_BACK_CP) $(HILBERT)

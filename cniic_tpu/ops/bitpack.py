@@ -1,4 +1,4 @@
-"""Vectorized Huffman bit packing.
+"""Vectorized Huffman bit packing (the env-gated device formulation).
 
 The reference packs codes bit-by-bit through a stateful writer
 (bit.rs:209-253). The TPU formulation: gather (code, len) per symbol, take an
@@ -9,6 +9,12 @@ three sorted segment-sums (a symbol of <= 63 bits spans at most three words).
 
 Bit order matches the reference exactly: MSB-first within bytes, zero-padded
 tail (bit.rs:243-253).
+
+Status (r2): the production pack path is the native C packer — measured TPU
+scatter throughput (~30M elem/s) plus the id upload make this path ~20x
+slower end-to-end on the bench host (BENCH_NOTES.md). It stays correct,
+parity-tested and selectable via CNIIC_DEVICE_BITPACK=1 as the pattern for
+scatter-capable backends.
 """
 
 from __future__ import annotations
