@@ -72,8 +72,11 @@ $(LOSSY_DIAGRAM): $(LOSSLESS_CODECS) $(LOSSY_CODECS) $(SCRIPTS_LOC)/error_vs_com
 $(HUFMAN):
 	$(RUN) --codec=hufman $(DATASET)
 
-# slow codecs keep a .bak so multi-hour runs aren't repeated
-output/%.cp: output/%.bak output/%
+# slow codecs keep a .bak so multi-hour runs aren't repeated (the .cp
+# restores the live CSV from the .bak, so it only needs the .bak: from a
+# clean output/ the bare CSV has no rule of its own and would otherwise
+# block the pattern match)
+output/%.cp: output/%.bak
 	cp output/$*.bak output/$*
 	touch output/$*.cp
 
