@@ -294,14 +294,14 @@ def _stop_threshold(n: int) -> int:
 
 def _pallas_block(n_pad: int, k: int, pk: int, batch: int, d2b: int) -> int:
     """Kernel point-block size for the fused Pallas iteration, or 0 to use
-    the XLA path. Auto-enabled on accelerators; the kernel's single packed
-    key (score*2pk + tiebreak, |score| <= d2b) needs (d2b+1)*2*pk < 2^31,
-    and the one-matmul cross term needs d2b < 2^24 (pc exactness) — both
-    hold through DIV2K-sized voronoi(128). CNIIC_PALLAS_KMEANS=0 forces
-    XLA, =1 forces the kernel (interpret mode off-TPU — parity tests)."""
+    the XLA path. Auto-enabled on accelerators; the one-matmul cross term
+    needs d2b < 2^24 (pc exactness). The single-reduction packed key
+    additionally needs (d2b+1)*2*pk < 2^31; beyond that the kernel's
+    two-reduction variant covers any k (big-k voronoi sweep configs).
+    CNIIC_PALLAS_KMEANS=0 forces XLA, =1 forces the kernel (interpret mode
+    off-TPU — parity tests)."""
     mode = os.environ.get("CNIIC_PALLAS_KMEANS", "")
-    if (mode == "0" or pk == 0 or (d2b + 1) * 2 * pk >= 2**31
-            or d2b >= 1 << 24):
+    if mode == "0" or d2b >= 1 << 24:
         return 0
     if mode != "1" and jax.default_backend() == "cpu":
         return 0
@@ -352,6 +352,7 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
 
         ptsT = kmeans_pallas.to_ptsT(pts_i)
         interp = jax.default_backend() == "cpu"
+        packed = pk != 0 and (d2b + 1) * 2 * pk < 2**31
         # the fused kernel runs ~3x more iterations per second than the XLA
         # body, so a burst can span more of the convergence run and still
         # stay under the runtime watchdog; fewer bursts = fewer tunnel syncs
@@ -362,8 +363,8 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
         def run_burst(cur, cents, moved_seed, it):
             return kmeans_pallas.kmeans_loop_pallas(
                 ptsT, w, cur, cents, n_dev, thresh_dev, moved_seed,
-                jnp.int32(it), k, burst, bs_p, vp, wp, pk, d2b=d2b,
-                interpret=interp)
+                jnp.int32(it), k, burst, bs_p, vp, wp, max(pk, 1 << max(k - 1, 0).bit_length()),
+                d2b=d2b, packed=packed, interpret=interp)
     else:
         def run_burst(cur, cents, moved_seed, it):
             return _kmeans_loop(

@@ -52,7 +52,7 @@ from .kmeans import _means_from_sums
 def _kernel(n_ref, act_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
             new_ref, sums_ref, moved_ref, acc_ref, mv_ref,
             *, B: int, k: int, vp: int, wp: int, pk: int, bs: int, nb: int,
-            d2b: int):
+            d2b: int, packed: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -115,16 +115,24 @@ def _kernel(n_ref, act_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
         score = (csq - pc) - pc                            # (k, bs)
         si = score.astype(jnp.int32)
 
-        # one packed min implements argmin + the strict-move rule: the key
-        # is (score, tiebreak) with the CURRENT centroid's tiebreak forced
-        # to 0, so at equal score cur wins (ties keep the cluster) and
-        # otherwise the smallest index among the winners is chosen —
-        # identical decisions to argmin-then-strictly-closer. The caller
-        # guarantees (d2b+1)*2*pk < 2^31 so keys stay int32.
+        # argmin + the strict-move rule via a (score, tiebreak) key with
+        # the CURRENT centroid's tiebreak forced to 0: at equal score cur
+        # wins (ties keep the cluster), otherwise the smallest index among
+        # the winners — identical decisions to argmin-then-strictly-closer.
         kidx = jax.lax.broadcasted_iota(jnp.int32, (k, bs), 0)
         sel = jnp.where(kidx == cur, I0, PK + kidx)
-        kmin = jnp.min(si * PK2 + sel, axis=0, keepdims=True)  # (1, bs)
-        r = kmin & PK2M
+        if packed:
+            # single reduction; caller guarantees (d2b+1)*2*pk < 2^31 so
+            # score*2pk + sel stays int32 (low bits exact even when
+            # score*2pk is negative: two's complement addition)
+            kmin = jnp.min(si * PK2 + sel, axis=0, keepdims=True)  # (1, bs)
+            r = kmin & PK2M
+        else:
+            # large k: two reductions (min score, then min tiebreak among
+            # the minimizers) — needs only d2b < 2^24 (f32 exactness)
+            smin = jnp.min(si, axis=0, keepdims=True)              # (1, bs)
+            wkey = jnp.where(si == smin, sel, jnp.int32(2**30))
+            r = jnp.min(wkey, axis=0, keepdims=True)
         new = jnp.where(r >= PK, r - PK, cur)
         new = jnp.where(pos < n, new, I0)
         new_ref[b : b + 1, :] = new
@@ -153,7 +161,8 @@ def _kernel(n_ref, act_ref, ptsT_ref, w_ref, cur_ref, cents_ref,
 
 
 def _assign_stats(ptsT, w, cur, cents_f, n1, act, *, k: int, vp: int,
-                  wp: int, pk: int, bs: int, d2b: int, interpret: bool):
+                  wp: int, pk: int, bs: int, d2b: int, packed: bool,
+                  interpret: bool):
     """One fused assignment+stats step over the whole batch.
 
     ptsT f32[B, d, n_pad], w int32[B, n_pad], cur int32[B, n_pad],
@@ -165,7 +174,7 @@ def _assign_stats(ptsT, w, cur, cents_f, n1, act, *, k: int, vp: int,
     nb = n_pad // bs
     F = vp * d + wp
     kern = functools.partial(_kernel, B=B, k=k, vp=vp, wp=wp, pk=pk,
-                             bs=bs, nb=nb, d2b=d2b)
+                             bs=bs, nb=nb, d2b=d2b, packed=packed)
     # index maps derive 0 from the (int32) grid index: literal 0 traces as
     # an i64 constant under x64, which the Mosaic legalizer rejects
     return pl.pallas_call(
@@ -213,10 +222,12 @@ def to_ptsT(pts_i):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp",
-                                             "wp", "pk", "d2b", "interpret"))
+                                             "wp", "pk", "d2b", "packed",
+                                             "interpret"))
 def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, it0,
                        k: int, max_iters: int, bs: int, vp: int, wp: int,
-                       pk: int, d2b: int = 0, interpret: bool = False):
+                       pk: int, d2b: int = 0, packed: bool = True,
+                       interpret: bool = False):
     """Drop-in replacement for ops.kmeans._kmeans_loop with the fused
     kernel as the iteration body (same freeze-on-threshold semantics; the
     means/empty-repair tail is the shared _means_from_sums)."""
@@ -231,7 +242,8 @@ def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, it0,
         new, sums, mv = _assign_stats(
             ptsT, w, cur, cents_i.astype(jnp.float32), n,
             act.astype(jnp.int32),
-            k=k, vp=vp, wp=wp, pk=pk, bs=bs, d2b=d2b, interpret=interpret)
+            k=k, vp=vp, wp=wp, pk=pk, bs=bs, d2b=d2b, packed=packed,
+            interpret=interpret)
 
         def lane_means(sums_b, ptsT_b, n_b):
             return _means_from_sums(

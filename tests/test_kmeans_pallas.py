@@ -43,7 +43,8 @@ def test_assign_stats_matches_iteration(k, d, weighted):
         ptsT, w, cur, cents.astype(jnp.float32),
         jnp.asarray(ns.astype(np.int32)),
         jnp.asarray(np.ones(B, np.int32)),
-        k=k, vp=vp, wp=wp, pk=pk, bs=bs_p, d2b=d2b, interpret=True)
+        k=k, vp=vp, wp=wp, pk=pk, bs=bs_p, d2b=d2b, packed=True,
+        interpret=True)
 
     for b in range(B):
         new_x, cents_x, _, moved_x = km._iteration(
@@ -75,6 +76,32 @@ def test_full_kmeans_matches_xla_path(monkeypatch):
     assert i_x == i_p
     np.testing.assert_array_equal(a_x, a_p)
     np.testing.assert_array_equal(c_x, c_p)
+
+
+def test_two_reduce_variant_matches_packed(monkeypatch):
+    """The big-k two-reduction path must make the exact same decisions as
+    the packed single-reduction key (and therefore as the XLA oracle)."""
+    rng = np.random.default_rng(13)
+    pts = rng.integers(0, 256, (700, 3)).astype(np.int64)
+
+    monkeypatch.setenv("CNIIC_PALLAS_KMEANS", "1")
+    monkeypatch.setenv("CNIIC_KMEANS_BS", "512")
+    c1, a1, i1 = km.kmeans(pts, 12)
+
+    # force the two-reduce variant by faking an over-bound d2b gate:
+    # patch _drive's packed decision via a tiny d2 ceiling on pk
+    orig = km._pallas_block
+    real_loop = kp.kmeans_loop_pallas
+
+    def no_pack_loop(*args, **kwargs):
+        kwargs["packed"] = False
+        return real_loop(*args, **kwargs)
+
+    monkeypatch.setattr(kp, "kmeans_loop_pallas", no_pack_loop)
+    c2, a2, i2 = km.kmeans(pts, 12)
+    assert i1 == i2
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(c1, c2)
 
 
 def test_pick_block():
