@@ -265,3 +265,14 @@ def test_decode_survives_fuzz(spec, rng):
             assert isinstance(out, np.ndarray)
         except Exception:
             pass  # clean failure is fine; crashing the process is not
+
+
+def test_kmeans_codecs_reject_too_few_points(rng):
+    """Fewer pixels/colors than clusters must raise cleanly (the runner's
+    per-image continue-on-error is the analog of the reference's panic)."""
+    tiny = rng.integers(0, 256, (2, 2, 3)).astype(np.uint8)
+    with pytest.raises(ValueError):
+        from_spec("voronoi(8)").encode(tiny)
+    flat = np.zeros((8, 8, 3), np.uint8)  # one unique color, k=4
+    with pytest.raises(ValueError):
+        from_spec("cluster-colors(4)").encode(flat)
