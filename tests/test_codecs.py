@@ -276,3 +276,12 @@ def test_kmeans_codecs_reject_too_few_points(rng):
     flat = np.zeros((8, 8, 3), np.uint8)  # one unique color, k=4
     with pytest.raises(ValueError):
         from_spec("cluster-colors(4)").encode(flat)
+
+
+@pytest.mark.parametrize("shape", [(1, 33), (33, 1), (2, 2), (5, 129)])
+def test_lossy_degenerate_shapes(shape, rng):
+    img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+    for spec in ("voronoi(2)", "cluster-colors(2)", "hilbert(rle(4))"):
+        codec = from_spec(spec)
+        dec = codec.decode(codec.encode(img))
+        assert dec.shape == img.shape, (spec, shape)
