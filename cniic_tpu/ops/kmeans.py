@@ -292,7 +292,7 @@ def _stop_threshold(n: int) -> int:
     return max(n >> 10, 0)
 
 
-def _pallas_block(n_pad: int, k: int, pk: int, batch: int, d2b: int) -> int:
+def _pallas_block(n_pad: int, k: int, batch: int, d2b: int) -> int:
     """Kernel point-block size for the fused Pallas iteration, or 0 to use
     the XLA path. Auto-enabled on accelerators; the one-matmul cross term
     needs d2b < 2^24 (pc exactness). The single-reduction packed key
@@ -335,7 +335,7 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
         from ..parallel import mesh as pmesh
 
         mesh = pmesh.batch_mesh(B)
-    bs_p = _pallas_block(pts_i.shape[1], k, pk, B, d2b)
+    bs_p = _pallas_block(pts_i.shape[1], k, B, d2b)
     if mesh is not None:
         # multi-chip: lanes over devices (the reference's rayon-over-images,
         # bench.rs:22-27, as data parallelism) — GSPMD partitions the
@@ -352,7 +352,10 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
 
         ptsT = kmeans_pallas.to_ptsT(pts_i)
         interp = jax.default_backend() == "cpu"
-        packed = pk != 0 and (d2b + 1) * 2 * pk < 2**31
+        # the kernel always needs the pow2 >= k for its tiebreak encoding,
+        # even when the packed single-reduction key is out of int32 range
+        pkc = 1 << max(k - 1, 0).bit_length()
+        packed = (d2b + 1) * 2 * pkc < 2**31
         # the fused kernel runs ~3x more iterations per second than the XLA
         # body, so a burst can span more of the convergence run and still
         # stay under the runtime watchdog; fewer bursts = fewer tunnel syncs
@@ -363,7 +366,7 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
         def run_burst(cur, cents, moved_seed, it):
             return kmeans_pallas.kmeans_loop_pallas(
                 ptsT, w, cur, cents, n_dev, thresh_dev, moved_seed,
-                jnp.int32(it), k, burst, bs_p, vp, wp, max(pk, 1 << max(k - 1, 0).bit_length()),
+                jnp.int32(it), k, burst, bs_p, vp, wp, pkc,
                 d2b=d2b, packed=packed, interpret=interp)
     else:
         def run_burst(cur, cents, moved_seed, it):
@@ -435,7 +438,7 @@ def _prep_host_batch(points_list, k: int, weights_list):
         for p in points_list)
     bs, vp, wp, pk = plan_params(max_val, max_w, d2_bound, k)
 
-    n_pad = -(-int(ns.max()) // bs) * bs  # noqa: E501 — keep layout
+    n_pad = -(-int(ns.max()) // bs) * bs
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
     w = np.zeros((B, n_pad), dtype=np.int32)
     valid = np.zeros((B, n_pad), dtype=bool)
