@@ -33,7 +33,10 @@ class Codec(abc.ABC):
 
         Default: sequential loop. Codecs with lane-/batch-parallel device
         paths (approximate RLE, k-means families) override this to amortize
-        dispatch and fill the vector lanes.
+        dispatch and fill the vector lanes. A batched codec may return an
+        Exception instance in place of a stream for an image that failed
+        (e.g. the k-means active-cluster floor) so the rest of the batch
+        survives; the runner records it as that image's failure.
         """
         return [self.encode(img) for img in imgs]
 

@@ -87,14 +87,22 @@ class ClusterColors(Codec):
         stats = [histogram.color_histogram(pixels_row_major(im)) for im in imgs]
         results = kmeans.kmeans_batch(
             [colors.astype(np.int64) for colors, _, _ in stats], self.n,
-            weights_list=[counts.astype(np.int64) for _, counts, _ in stats])
+            weights_list=[counts.astype(np.int64) for _, counts, _ in stats],
+            on_error="collect")
+        # a lane that failed the active-cluster floor yields its exception
+        # in place of the stream: the runner isolates that image
+        ok = [i for i, r in enumerate(results)
+              if not isinstance(r, Exception)]
         parts = [
-            _palette_stream_parts(self.n, counts, inverse, cents, assign)
-            for (_, counts, inverse), (cents, assign, _) in zip(stats, results)]
+            _palette_stream_parts(self.n, stats[i][1], stats[i][2],
+                                  results[i][0], results[i][1])
+            for i in ok]
         streams = huffman.batch_encode_streams(
             [p[0] for p in parts], [p[1] for p in parts], [p[2] for p in parts])
-        return [wire.pack_dims(im.shape[1], im.shape[0]) + s
-                for im, s in zip(imgs, streams)]
+        out: list = list(results)  # exceptions stay in place
+        for i, s in zip(ok, streams):
+            out[i] = wire.pack_dims(imgs[i].shape[1], imgs[i].shape[0]) + s
+        return out
 
     def decode(self, data) -> np.ndarray:
         return Hufman().decode(data)
@@ -137,12 +145,14 @@ class VoronoiCluster(Codec):
         buckets: dict[tuple[int, int], list[int]] = {}
         for i, im in enumerate(imgs):
             buckets.setdefault(im.shape[:2], []).append(i)
-        out: list[bytes | None] = [None] * len(imgs)
+        out: list = [None] * len(imgs)
         for (h, w), idxs in buckets.items():
             cents = kmeans.voronoi_centroids_batch(
-                np.stack([imgs[i] for i in idxs]), self.n)
+                np.stack([imgs[i] for i in idxs]), self.n,
+                on_error="collect")
             for i, c in zip(idxs, cents):
-                out[i] = self._serialize(w, h, c)
+                # failed lanes carry their exception through to the runner
+                out[i] = c if isinstance(c, Exception) else self._serialize(w, h, c)
         return out
 
     @staticmethod

@@ -211,38 +211,61 @@ def _widen(pu, wu, cu):
     return pi.astype(jnp.float32), pi, wu.astype(jnp.int32), cu.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp", "pk"))
-def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, thresh, moved0, it0,
-                 k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4, wp: int = 4, pk: int = 0):
+# a lane also freezes after this many consecutive iterations without a 2%
+# move-count improvement — the plateau safety net for pathological limit
+# cycles above the 0.1% threshold. Evaluated per iteration ON DEVICE so the
+# trigger point is a pure function of the lane's own trajectory (burst
+# boundaries and batch composition cannot shift it — encode_batch stays
+# bit-identical to per-image encode even for plateauing lanes).
+_STALL_LIMIT = 64
+
+
+def _plateau_update(act, new_moved, best, stall):
+    """Shared stall bookkeeping (integer math: improved = moved < 0.98*best)."""
+    improved = new_moved * 100 < best * 98
+    best = jnp.where(jnp.logical_and(act, improved), new_moved, best)
+    stall = jnp.where(act, jnp.where(improved, 0, stall + 1), stall)
+    return best, stall
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp", "pk", "stall_lim"))
+def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, thresh, moved0,
+                 best0, stall0, it0,
+                 k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4,
+                 wp: int = 4, pk: int = 0, stall_lim: int = _STALL_LIMIT):
     """One device burst over a batch of lanes (leading axis B everywhere).
 
-    Iterates until every lane's move count is at or below its `thresh` or
-    the burst cap is hit. A lane whose count reaches its threshold is
-    frozen — its assignment/centroids stop updating — so per-lane results
-    are bit-identical to running that lane alone. `moved0` seeds the move
-    counts (the host passes the previous burst's counts; 0 force-freezes a
-    lane, e.g. on a host-detected plateau).
+    Iterates until every lane is frozen (move count at or below its
+    `thresh`, or `stall_lim` iterations without a 2% improvement) or the
+    burst cap is hit. A frozen lane's assignment/centroids stop updating,
+    so per-lane results are bit-identical to running that lane alone.
+    `moved0`/`best0`/`stall0` carry the per-lane state across bursts.
     """
 
     def one_lane(pf, pi, wi, va, cu, ce, it, ni):
         return _iteration(pf, pi, wi, va, cu, ce, k, it, ni, bs, vp, wp, pk)
 
+    def active(moved, stall):
+        return jnp.logical_and(moved > thresh, stall < stall_lim)
+
     def cond(state):
-        it, _, _, moved = state
-        return jnp.logical_and(jnp.any(moved > thresh), it < it0 + max_iters)
+        it, _, _, moved, _, stall = state
+        return jnp.logical_and(jnp.any(active(moved, stall)),
+                               it < it0 + max_iters)
 
     def body(state):
-        it, cur, cents_i, moved = state
+        it, cur, cents_i, moved, best, stall = state
         new, cents_new, _, new_moved = jax.vmap(
             one_lane, in_axes=(0, 0, 0, 0, 0, 0, None, 0)
         )(pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32), it, n)
-        act = moved > thresh
+        act = active(moved, stall)
         cur = jnp.where(act[:, None], new, cur)
         cents_i = jnp.where(act[:, None, None], cents_new, cents_i)
         moved = jnp.where(act, new_moved, moved)
-        return it + 1, cur, cents_i, moved
+        best, stall = _plateau_update(act, new_moved, best, stall)
+        return it + 1, cur, cents_i, moved, best, stall
 
-    state = (it0, cur, cents_i, moved0)
+    state = (it0, cur, cents_i, moved0, best0, stall0)
     return jax.lax.while_loop(cond, body, state)
 
 
@@ -322,13 +345,19 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
     """
     B = int(n_arr.size)
     thresh = np.array([_stop_threshold(int(n)) for n in n_arr], np.int32)
-    burst = max(4, min(64, (1 << 23) // max(int(n_arr.max()) // 8, 1)))
+    # watchdog budget covers the whole batch on one device, so the burst
+    # shrinks with the lane count (a mesh divides the work back down)
+    burst = max(4, min(64, (1 << 23) // max(int(n_arr.max()) * B // 8, 1)))
     thresh_dev = jnp.asarray(thresh)
     n_dev = jnp.asarray(n_arr.astype(np.int32))
     moved = n_arr.astype(np.int64) + 1  # seed: every lane active
     strict = os.environ.get("CNIIC_KMEANS_STRICT", "") == "1"
-    best = moved.copy()
-    stall = np.zeros(B, np.int64)
+    # strict mode restores the reference's pure till-no-change rule: both
+    # the 0.1% threshold (thresh=0 via _stop_threshold) and the plateau
+    # net are disabled
+    stall_lim = (1 << 30) if strict else _STALL_LIMIT
+    best_dev = jnp.asarray((n_arr + 1).astype(np.int32))
+    stall_dev = jnp.asarray(np.zeros(B, np.int32))
 
     mesh = None
     if B > 1:
@@ -360,41 +389,35 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
         # body, so a burst can span more of the convergence run and still
         # stay under the runtime watchdog; fewer bursts = fewer tunnel syncs
         # (each burst boundary costs ~65 ms of dispatch+fetch on the
-        # tunneled host — a typical voronoi run should fit in ONE burst)
-        burst = max(4, min(256, (1 << 27) // max(int(n_arr.max()), 1)))
+        # tunneled host — a typical voronoi batch should fit in ONE burst)
+        burst = max(4, min(256, (1 << 29) // max(int(n_arr.max()) * B, 1)))
 
-        def run_burst(cur, cents, moved_seed, it):
+        def run_burst(cur, cents, moved_seed, best_s, stall_s, it):
             return kmeans_pallas.kmeans_loop_pallas(
                 ptsT, w, cur, cents, n_dev, thresh_dev, moved_seed,
-                jnp.int32(it), k, burst, bs_p, vp, wp, pkc,
-                d2b=d2b, packed=packed, interpret=interp)
+                best_s, stall_s, jnp.int32(it), k, burst, bs_p, vp, wp, pkc,
+                d2b=d2b, packed=packed, stall_lim=stall_lim,
+                interpret=interp)
     else:
-        def run_burst(cur, cents, moved_seed, it):
+        def run_burst(cur, cents, moved_seed, best_s, stall_s, it):
             return _kmeans_loop(
                 pts_f, pts_i, w, valid, cur, cents, n_dev, thresh_dev,
-                moved_seed, jnp.int32(it), k, burst,
-                bs=bs, vp=vp, wp=wp, pk=pk)
+                moved_seed, best_s, stall_s, jnp.int32(it), k, burst,
+                bs=bs, vp=vp, wp=wp, pk=pk, stall_lim=stall_lim)
 
     it = 0
-    while it < max_iters and (moved > thresh).any():
-        it_dev, cur, cents, moved_dev = run_burst(
-            cur, cents, jnp.asarray(moved.astype(np.int32)), it)
+    stall = np.zeros(B, np.int64)
+    while it < max_iters and ((moved > thresh) & (stall < stall_lim)).any():
+        it_dev, cur, cents, moved_dev, best_dev, stall_dev = run_burst(
+            cur, cents, jnp.asarray(moved.astype(np.int32)), best_dev,
+            stall_dev, it)
         it = int(it_dev)
         moved = np.asarray(moved_dev).astype(np.int64)
-        if strict:
-            continue
-        # plateau safety net, per lane: three bursts without a 2% move-count
-        # improvement freezes the lane (zero frontier impact measured —
-        # PARITY.md; the threshold stop above fires first in practice)
-        active = moved > thresh
-        improved = moved < best * 0.98
-        stall = np.where(improved, 0, stall + active)
-        best = np.minimum(best, moved)
-        plateaued = active & (stall >= 3)
-        if plateaued.any():
-            log.info("k-means: %d lane(s) plateaued at %s moves (%d iterations)",
-                     int(plateaued.sum()), moved[plateaued].tolist(), it)
-            moved[plateaued] = 0
+        stall = np.asarray(stall_dev).astype(np.int64)
+    plateaued = (moved > thresh) & (stall >= stall_lim)
+    if plateaued.any():
+        log.info("k-means: %d lane(s) plateaued at %s moves (%d iterations)",
+                 int(plateaued.sum()), moved[plateaued].tolist(), it)
     return it, cur, cents
 
 
@@ -491,14 +514,42 @@ def _check_active(active: int, k: int, n: int) -> None:
 
 
 def kmeans_batch(points_list, k: int, weights_list=None,
-                 max_iters: int = 10_000):
+                 max_iters: int = 10_000, on_error: str = "raise"):
     """Cluster a batch of integer point sets in lockstep on the device.
 
     points_list: list of (n_i, d) nonnegative integer arrays (n_i may vary;
     lanes are padded to a common block multiple and masked).
     weights_list: optional list of (n_i,) positive integer frequency weights.
     Returns a list of (centroids int64[k, d], assignment int32[n_i], iters).
+
+    on_error="collect": a lane that fails validation (too few points,
+    weight bounds) or the active-cluster floor yields its exception IN
+    PLACE of the result tuple instead of aborting the whole batch (the
+    runner's per-image continue-on-error then isolates that image,
+    mirroring the reference panic's per-image blast radius).
     """
+    if on_error == "collect":
+        keep, errs = [], {}
+        if weights_list is None:
+            weights_list = [None] * len(points_list)
+        for i, (p, wl) in enumerate(zip(points_list, weights_list)):
+            try:
+                _prep_host_batch([p], k, [wl])
+            except (ValueError, AssertionError) as e:
+                errs[i] = e
+                continue
+            keep.append(i)
+        if errs:
+            out: list = [None] * len(points_list)
+            for i, e in errs.items():
+                out[i] = e
+            if keep:
+                sub = kmeans_batch([points_list[i] for i in keep], k,
+                                   [weights_list[i] for i in keep],
+                                   max_iters=max_iters, on_error="collect")
+                for i, r in zip(keep, sub):
+                    out[i] = r
+            return out
     (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
         _prep_host_batch(points_list, k, weights_list)
     it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
@@ -509,7 +560,13 @@ def kmeans_batch(points_list, k: int, weights_list=None,
     for b, n in enumerate(ns.tolist()):
         assignment = assign_np[b, :n]
         active = np.unique(assignment).size
-        _check_active(active, k, n)
+        try:
+            _check_active(active, k, n)
+        except AssertionError as e:
+            if on_error != "collect":
+                raise
+            out.append(e)
+            continue
         out.append((cents_np[b], assignment, it))
     log.info("k-means: %d iterations over %d lane(s)", it, len(out))
     return out
@@ -572,34 +629,36 @@ def _voronoi_setup(imgs, k: int, bs: int):
 
 
 def voronoi_centroids_batch(imgs: np.ndarray, k: int,
-                            max_iters: int = 10_000) -> np.ndarray:
+                            max_iters: int = 10_000,
+                            on_error: str = "raise"):
     """K-means over all pixels as (x, y, r, g, b) points for a same-shape
     image batch (clusterc.rs:206-247), entirely device-resident: upload the
     uint8 images, build points/init on device, fetch only the (B, k, 5)
     centroids (the assignment is not part of the voronoi stream).
-    Returns int64[B, k, 5].
+    Returns a list of int64[k, 5] (or, with on_error="collect", the
+    active-cluster exception in place of a failed lane's centroids).
     """
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     B, h, w, _ = imgs.shape
     n = h * w
-    if n < k:
-        raise ValueError(f"k-means needs at least k points ({n} < {k})")
-    if n // k == 0:
-        raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
-    if n > 4_000_000:
-        raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+    try:
+        if n < k:
+            raise ValueError(f"k-means needs at least k points ({n} < {k})")
+        if n // k == 0:
+            raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
+        if n > 4_000_000:
+            raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+    except ValueError as e:
+        if on_error != "collect":
+            raise
+        return [e] * B  # same shape => the whole bucket shares the failure
     if max(h, w) - 1 > 2048:
         log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
                     "exactness and convergence may slow")
 
-    bs = 65536 if k <= 512 else _BLOCK
-    bs = int(os.environ.get("CNIIC_KMEANS_BS", bs))
     max_val = max(w - 1, h - 1, 255)
-    vp = max(1, (max_val.bit_length() + 7) // 8)
-    wp = 1
     d2_bound = (w - 1) ** 2 + (h - 1) ** 2 + 3 * 255 ** 2
-    pkc = 1 << max(k - 1, 0).bit_length()
-    pk = pkc if (d2_bound + 1) * pkc < 2**31 else 0
+    bs, vp, wp, pk = plan_params(max_val, 1, d2_bound, k)
 
     pts_f, pts_i, w_dev, valid, cur, cents = _voronoi_setup(
         jnp.asarray(imgs), k, bs)
@@ -607,7 +666,16 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
     it, cur, cents = _drive(pts_f, pts_i, w_dev, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, d2_bound, max_iters)
     actives = np.asarray(_active_counts(cur, valid, k))
+    cents_np = np.array(cents).astype(np.int64)
+    out = []
     for b in range(B):
-        _check_active(int(actives[b]), k, n)
+        try:
+            _check_active(int(actives[b]), k, n)
+        except AssertionError as e:
+            if on_error != "collect":
+                raise
+            out.append(e)
+            continue
+        out.append(cents_np[b])
     log.info("k-means: %d iterations over %d voronoi lane(s)", it, B)
-    return np.array(cents).astype(np.int64)
+    return out

@@ -223,22 +223,29 @@ def to_ptsT(pts_i):
 
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp",
                                              "wp", "pk", "d2b", "packed",
-                                             "interpret"))
-def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, it0,
+                                             "stall_lim", "interpret"))
+def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, best0,
+                       stall0, it0,
                        k: int, max_iters: int, bs: int, vp: int, wp: int,
                        pk: int, d2b: int = 0, packed: bool = True,
-                       interpret: bool = False):
+                       stall_lim: int = 1 << 30, interpret: bool = False):
     """Drop-in replacement for ops.kmeans._kmeans_loop with the fused
-    kernel as the iteration body (same freeze-on-threshold semantics; the
-    means/empty-repair tail is the shared _means_from_sums)."""
+    kernel as the iteration body (same freeze semantics — threshold stop +
+    per-iteration plateau net; the means/empty-repair tail is the shared
+    _means_from_sums)."""
+    from .kmeans import _plateau_update
+
+    def active(moved, stall):
+        return jnp.logical_and(moved > thresh, stall < stall_lim)
 
     def cond(state):
-        it, _, _, moved = state
-        return jnp.logical_and(jnp.any(moved > thresh), it < it0 + max_iters)
+        it, _, _, moved, _, stall = state
+        return jnp.logical_and(jnp.any(active(moved, stall)),
+                               it < it0 + max_iters)
 
     def body(state):
-        it, cur, cents_i, moved = state
-        act = moved > thresh
+        it, cur, cents_i, moved, best, stall = state
+        act = active(moved, stall)
         new, sums, mv = _assign_stats(
             ptsT, w, cur, cents_i.astype(jnp.float32), n,
             act.astype(jnp.int32),
@@ -253,10 +260,13 @@ def kmeans_loop_pallas(ptsT, w, cur, cents_i, n, thresh, moved0, it0,
         cents_new, _ = jax.vmap(lane_means)(sums, ptsT, n)
         cur = jnp.where(act[:, None], new, cur)
         cents_i = jnp.where(act[:, None, None], cents_new, cents_i)
-        moved = jnp.where(act, mv[:, 0], moved)
-        return it + 1, cur, cents_i, moved
+        new_moved = mv[:, 0]
+        moved = jnp.where(act, new_moved, moved)
+        best, stall = _plateau_update(act, new_moved, best, stall)
+        return it + 1, cur, cents_i, moved, best, stall
 
-    return jax.lax.while_loop(cond, body, (it0, cur, cents_i, moved0))
+    return jax.lax.while_loop(
+        cond, body, (it0, cur, cents_i, moved0, best0, stall0))
 
 
 def pick_block(n_pad: int, k: int, batch: int = 1) -> int:

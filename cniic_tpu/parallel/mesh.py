@@ -75,20 +75,25 @@ def shard_batch(mesh: Mesh, *arrays):
 # ---------------------------------------------------------------------------
 
 def _sharded_burst(mesh: Mesh, k: int, d: int, n_loc: int, bs: int, vp: int,
-                   wp: int, pk: int, burst: int):
+                   wp: int, pk: int, burst: int, stall_lim: int):
     """shard_map'd burst of full k-means iterations; points sharded on the
-    batch axis, centroids replicated, statistics psum'd over ICI."""
+    batch axis, centroids replicated, statistics psum'd over ICI. Carries
+    the same per-iteration plateau net as the single-chip loops so results
+    stay bit-identical."""
     from ..ops import kmeans as km
 
-    def _local(pts_f, pts_i, w, valid, cur, cents_i, it0, moved0, n, thresh):
+    def _local(pts_f, pts_i, w, valid, cur, cents_i, it0, moved0, best0,
+               stall0, n, thresh):
         off = jax.lax.axis_index("batch") * n_loc
 
         def cond(state):
-            it, _, _, moved = state
-            return jnp.logical_and(moved > thresh, it < it0 + burst)
+            it, _, _, moved, _, stall = state
+            return jnp.logical_and(
+                jnp.logical_and(moved > thresh, stall < stall_lim),
+                it < it0 + burst)
 
         def body(state):
-            it, cur, cents_i, _ = state
+            it, cur, cents_i, _, best, stall = state
             new, sums_loc, moved_loc = km._assign_stats_xla(
                 pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32),
                 k, bs, vp, wp, pk)
@@ -105,16 +110,18 @@ def _sharded_burst(mesh: Mesh, k: int, d: int, n_loc: int, bs: int, vp: int,
                              pts_i[jnp.clip(loc, 0, n_loc - 1)], 0)
             stolen = jax.lax.psum(cand, "batch")
             cents_new = jnp.where(empty[:, None], stolen, cents_div)
-            return it + 1, new, cents_new, moved
+            best, stall = km._plateau_update(
+                jnp.asarray(True), moved, best, stall)
+            return it + 1, new, cents_new, moved, best, stall
 
-        state = (it0, cur, cents_i, moved0)
+        state = (it0, cur, cents_i, moved0, best0, stall0)
         return jax.lax.while_loop(cond, body, state)
 
     sharded = shard_map(
         _local, mesh=mesh,
         in_specs=(P("batch", None), P("batch", None), P("batch"), P("batch"),
-                  P("batch"), P(None, None), P(), P(), P(), P()),
-        out_specs=(P(), P("batch"), P(None, None), P()),
+                  P("batch"), P(None, None), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P("batch"), P(None, None), P(), P(), P()),
     )
     return jax.jit(sharded)
 
@@ -164,17 +171,29 @@ def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
     cents[k - 1] = points[0]
 
     thresh = km._stop_threshold(n)
+    strict = os.environ.get("CNIIC_KMEANS_STRICT", "") == "1"
+    stall_lim = (1 << 30) if strict else km._STALL_LIMIT
     burst = max(4, min(64, (1 << 23) // max(n // 8, 1)))
-    step = _sharded_burst(mesh, k, d, n_loc, block, vp, wp, pk, burst)
+    step = _sharded_burst(mesh, k, d, n_loc, block, vp, wp, pk, burst,
+                          stall_lim)
 
-    pts_f = pts_i.astype(np.float32)
+    # upload ONCE, narrow (CLAUDE.md transfer rule), widen on device; the
+    # burst loop then only moves the small carried state per iteration
+    pts_up = pts_i.astype(np.int16) if max_val <= 32767 else pts_i
+    w_up = w.astype(np.uint8) if max_w < 256 else w
+    pts_f_d, pts_i_d, w_d, _ = km._widen(
+        jnp.asarray(pts_up), jnp.asarray(w_up), jnp.asarray(cur))
+    valid_d = jnp.asarray(valid)
     cur_d, cents_d = jnp.asarray(cur), jnp.asarray(cents)
-    it, moved = 0, n + 1
-    while it < max_iters and moved > thresh:
-        it_d, cur_d, cents_d, moved_d = step(
-            pts_f, pts_i, w, valid, cur_d, cents_d, jnp.int32(it),
-            jnp.int32(min(moved, 2**31 - 1)), jnp.int32(n), jnp.int32(thresh))
-        it, moved = int(it_d), int(moved_d)
+    it, moved, stall = 0, n + 1, 0
+    best_d = jnp.int32(min(n + 1, 2**31 - 1))
+    stall_d = jnp.int32(0)
+    while it < max_iters and moved > thresh and stall < stall_lim:
+        it_d, cur_d, cents_d, moved_d, best_d, stall_d = step(
+            pts_f_d, pts_i_d, w_d, valid_d, cur_d, cents_d, jnp.int32(it),
+            jnp.int32(min(moved, 2**31 - 1)), best_d, stall_d,
+            jnp.int32(n), jnp.int32(thresh))
+        it, moved, stall = int(it_d), int(moved_d), int(stall_d)
 
     centroids = np.array(cents_d).astype(np.int64)
     assignment = np.asarray(cur_d)[:n]

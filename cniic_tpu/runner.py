@@ -131,15 +131,24 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
     res.encode_s += enc_s
     res.megapixels += sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
 
+    # batched codecs may return an Exception in place of a failed image's
+    # stream (e.g. the k-means active-cluster floor) — isolate those images
+    # and decode the rest in one batch
+    ok_idx = [i for i, b in enumerate(blobs) if not isinstance(b, Exception)]
+    decoded_all: list = [None] * len(blobs)
     try:
         t1 = time.perf_counter()
-        decoded_all = codec.decode_batch(blobs)
+        dec_ok = codec.decode_batch([blobs[i] for i in ok_idx])
         res.decode_s += time.perf_counter() - t1
+        for j, i in enumerate(ok_idx):
+            decoded_all[i] = dec_ok[j]
     except Exception:
-        decoded_all = [None] * len(blobs)  # per-image path reports the error
+        pass  # per-image path below reports the error
 
     for p, img, data, decoded in zip(names, imgs, blobs, decoded_all):
         try:
+            if isinstance(data, Exception):
+                raise data
             if decoded is None:
                 t1 = time.perf_counter()
                 decoded = codec.decode(data)

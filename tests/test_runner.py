@@ -81,3 +81,26 @@ def test_trace_spans():
     rep = trace.report()
     assert rep["outer"][0] == 1
     assert rep["outer.inner"][0] == 1
+
+
+def test_batch_isolates_degenerate_image(tmp_path, rng):
+    """One near-flat image failing the k-means active-cluster floor must
+    not take down the rest of its batch (per-image blast radius, like the
+    reference's per-image panic)."""
+    from cniic_tpu import image_io, runner
+    from cniic_tpu.codecs import from_spec
+
+    paths = []
+    good = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    flat = np.zeros((16, 16, 3), np.uint8)
+    flat[0, 0] = [1, 2, 3]  # 2 unique colors, k=4 -> active floor fails
+    for i, im in enumerate([good, flat, good]):
+        p = tmp_path / f"im{i}.png"
+        image_io.save_png(im, str(p))
+        paths.append(str(p))
+
+    res = runner.measure_all(from_spec("cluster-colors(4)"), paths,
+                             output_dir=str(tmp_path), verbose=False, batch=3)
+    assert len(res.rows) == 2
+    assert len(res.failures) == 1
+    assert "im1" in res.failures[0][0]

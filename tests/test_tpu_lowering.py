@@ -59,7 +59,7 @@ def test_kmeans_loop_lowers_for_tpu():
     moved0 = jnp.asarray(np.full(B, n_pad, np.int32))
     f = jax.jit(functools.partial(km._kmeans_loop.__wrapped__, k=4, max_iters=10))
     _lower_tpu(f, pts_f, pts_i, w, valid, cur, cents, n, thresh, moved0,
-               jnp.int32(0))
+               moved0, jnp.zeros_like(moved0), jnp.int32(0))
 
 
 def test_kmeans_pallas_kernel_lowers_for_tpu():
@@ -76,7 +76,7 @@ def test_kmeans_pallas_kernel_lowers_for_tpu():
     moved0 = jnp.asarray(np.full(B, n_pad, np.int32))
     f = jax.jit(functools.partial(
         kp.kmeans_loop_pallas.__wrapped__, k=k, max_iters=8, bs=2048,
-        vp=2, wp=1, pk=128, d2b=1 << 21, interpret=False))
+        vp=2, wp=1, pk=128, d2b=1 << 21, stall_lim=64, interpret=False))
     text = _lower_tpu(f, ptsT, w, cur, cents, n, thresh, moved0,
-                      jnp.int32(0)).as_text()
+                      moved0, jnp.zeros_like(moved0), jnp.int32(0)).as_text()
     assert "tpu_custom_call" in text or "mosaic" in text.lower()
