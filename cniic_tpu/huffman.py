@@ -155,46 +155,51 @@ def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
     freqs_list: per-stream symbol frequencies (the codebook input).
     leafs_list: per-stream uint8[u, leaf_size] wire payloads per symbol.
     """
+    import os
+
     from . import trace
-    from .ops import bitpack
-    from .ops.bitpack import _bucket
 
     B = len(ids_list)
-    n_pad = _bucket(max(i.size for i in ids_list))
-    u_pad = _bucket(max(f.size for f in freqs_list))
-    u_pad = max(u_pad, 256) + 1  # +1: zero-length padding entry per image
-
+    books = []
     trees = []
-    # uint16 ids when every alphabet (incl. the per-image padding id u)
-    # fits: halves the dominant host->device transfer of the batch
-    id_dtype = np.uint16 if u_pad <= 0xFFFF else np.int32
-    ids = np.zeros((B, n_pad), dtype=id_dtype)
-    codes = np.zeros((B, u_pad), dtype=np.uint64)
-    lens = np.zeros((B, u_pad), dtype=np.uint32)
-    total_bits = []
     with trace.span("huffman.trees"):
-        for i, (sym, freqs, leafs) in enumerate(zip(ids_list, freqs_list, leafs_list)):
-            u = freqs.size
+        for sym, freqs, leafs in zip(ids_list, freqs_list, leafs_list):
             book = build_codebook(freqs)
+            books.append(book)
             trees.append(serialize_tree(book, leafs))
-            codes[i, :u] = book.codes
-            lens[i, :u] = book.lens
-            ids[i, : sym.size] = sym
-            ids[i, sym.size :] = u  # padding -> zero-length code
-            # payload size is known before the device packs a single bit
-            # (sum freq*len) — saves the bit-count fetch round trip
-            total_bits.append(int(np.asarray(freqs, np.uint64) @ book.lens))
 
     with trace.span("huffman.pack"):
-        import os
-
         if os.environ.get("CNIIC_DEVICE_BITPACK", "") == "1":
+            from .ops import bitpack
+            from .ops.bitpack import _bucket
+
+            n_pad = _bucket(max(i.size for i in ids_list))
+            u_pad = max(_bucket(max(f.size for f in freqs_list)), 256) + 1
+            # uint16 ids when every alphabet (incl. the per-image padding
+            # id u) fits: halves the dominant host->device transfer
+            id_dtype = np.uint16 if u_pad <= 0xFFFF else np.int32
+            ids = np.zeros((B, n_pad), dtype=id_dtype)
+            codes = np.zeros((B, u_pad), dtype=np.uint64)
+            lens = np.zeros((B, u_pad), dtype=np.uint32)
+            total_bits = []
+            for i, (sym, freqs, book) in enumerate(
+                    zip(ids_list, freqs_list, books)):
+                u = freqs.size
+                codes[i, :u] = book.codes
+                lens[i, :u] = book.lens
+                ids[i, : sym.size] = sym
+                ids[i, sym.size :] = u  # padding -> zero-length code
+                # payload size is known before the device packs a single
+                # bit (sum freq*len) — saves the bit-count fetch round trip
+                total_bits.append(int(np.asarray(freqs, np.uint64) @ book.lens))
             payloads = bitpack.pack_bits_batch(ids, codes, lens, total_bits)
         else:
+            # host C packer: no padding, no transposed codebook matrices —
+            # each stream packs straight from its own codebook
             payloads = [
-                native.pack_bits(codes[i], lens[i],
-                                 ids[i, : ids_list[i].size].astype(np.int32))
-                for i in range(B)]
+                native.pack_bits(book.codes, book.lens,
+                                 np.asarray(sym, np.int32))
+                for sym, book in zip(ids_list, books)]
     return [t + p for t, p in zip(trees, payloads)]
 
 
