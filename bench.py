@@ -5,8 +5,9 @@ Runs each codec over a deterministic synthetic corpus with natural-image-like
 statistics (spatially-correlated texture + gradients + flat regions), checks
 the round trip, and reports the **geometric mean encode throughput in
 megapixels/sec** across the nine configs of the reference Makefile sweep.
-Each codec is timed over three passes after a warmup and the median is used
-(the shared bench-host vCPU swings single passes ~2x).
+Each codec is timed over five passes after a warmup; the headline value is
+the geomean of per-codec medians, with a best-trial geomean reported
+alongside (the shared bench-host vCPU swings whole runs ~1.5-2x).
 
 Baseline: the Rust reference cannot be built in-container (BENCH_NOTES.md);
 ``vs_baseline`` is the geometric-mean per-codec speedup over a **measured**
@@ -66,7 +67,7 @@ SUITE = [
     ("zip(back)", 512, 2),
 ]
 
-TRIALS = 3
+TRIALS = 5
 
 
 def _load_host_baseline() -> dict:
@@ -86,7 +87,7 @@ def _geomean(vals) -> float:
 def main() -> int:
     rng = np.random.default_rng(2024)
     baseline = _load_host_baseline()
-    enc_mps, dec_mps, speedups = {}, {}, {}
+    enc_mps, enc_best_mps, dec_mps, speedups = {}, {}, {}, {}
     failures = {}
     details = []
     for spec, side, n_imgs in SUITE:
@@ -109,6 +110,7 @@ def main() -> int:
                     decs = codec.decode_batch(blobs)
                     dec_trials.append(time.perf_counter() - t0)
                 enc_s = float(np.median(enc_trials))
+                enc_best = float(np.min(enc_trials))
                 dec_s = float(np.median(dec_trials))
 
                 # round-trip check on every image of the last pass
@@ -129,6 +131,7 @@ def main() -> int:
             continue
         failures.pop(codec.name, None)
         enc_mps[codec.name] = mp / enc_s
+        enc_best_mps[codec.name] = mp / enc_best
         dec_mps[codec.name] = mp / dec_s
         base = baseline.get(codec.name, {}).get("encode_mps")
         if base:
@@ -158,6 +161,10 @@ def main() -> int:
         "vs_baseline": round(vs, 3),
         "vs_baseline_kind": ("measured_host_single_core" if len(speedups) == len(enc_mps)
                              else "nominal_1mps"),
+        # medians are the honest per-run statistic; the best-trial geomean
+        # tracks machine capability through the bench host's documented
+        # contention swings (r1 notes: whole runs move ~2x)
+        "geomean_best_trials": round(_geomean(enc_best_mps.values()), 3),
         "decode_geomean_mps": round(_geomean(dec_mps.values()), 3),
         "per_codec_mps": {k: round(v, 3) for k, v in enc_mps.items()},
         "per_codec_decode_mps": {k: round(v, 3) for k, v in dec_mps.items()},
