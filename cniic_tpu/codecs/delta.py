@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import hilbert, huffman, wire
+from .. import hilbert, huffman, native, wire
 from ..ops import histogram
 from .base import Codec
 
@@ -30,12 +30,8 @@ def _pack_diffs(diffs: np.ndarray) -> np.ndarray:
 class Delta(Codec):
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
-        scan = hilbert.linearize(img).astype(np.int16)
-        diffs = np.empty_like(scan)
-        diffs[0] = scan[0]  # previous = [0,0,0] (hilbertc.rs:442-445)
-        np.subtract(scan[1:], scan[:-1], out=diffs[1:])
-
-        keys = _pack_diffs(diffs)
+        scan = hilbert.linearize(img)
+        keys = native.delta_keys(scan)  # fused diff+pack (C)
         uniq, counts, inverse = histogram.key_histogram(keys)
         uniq_diffs = np.empty((uniq.size, 3), dtype=np.int16)
         uniq_diffs[:, 0] = ((uniq >> 18) & 0x1FF).astype(np.int16) - 255
@@ -75,13 +71,7 @@ class Delta(Codec):
             uniq_diffs[:, 2] = (uniq_keys & 0x1FF).astype(np.int16) - 255
             return wire.i16_triplets_to_wire(uniq_diffs).reshape(-1, LEAF_SIZE)
 
-        keys = []
-        for img in imgs:
-            scan = hilbert.linearize(img).astype(np.int16)
-            diffs = np.empty_like(scan)
-            diffs[0] = scan[0]
-            np.subtract(scan[1:], scan[:-1], out=diffs[1:])
-            keys.append(_pack_diffs(diffs))
+        keys = [native.delta_keys(hilbert.linearize(img)) for img in imgs]
         streams = huffman.batch_encode(keys, payload_fn)
         return [
             wire.pack_dims(img.shape[1], img.shape[0]) + s

@@ -104,6 +104,10 @@ def _load() -> ctypes.CDLL:
         lib.huf_tree_parse.restype = i64
         lib.pack_bits.argtypes = [u64p, u32p, i32p, i64, u8p]
         lib.pack_bits.restype = i64
+        lib.hist_rgb.argtypes = [u8p, i64, u32p, i64p, i32p]
+        lib.hist_rgb.restype = i64
+        lib.delta_keys.argtypes = [u8p, i64, u32p]
+        lib.delta_keys.restype = None
 
         lib.cniic_buf_free.argtypes = [u8p]
         lib.cniic_buf_free.restype = None
@@ -168,6 +172,34 @@ def pack_bits(codes: np.ndarray, lens: np.ndarray, ids: np.ndarray) -> bytes:
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         _as_i32p(ids), ids.size, _as_u8p(out))
     return out[:got].tobytes()
+
+
+def hist_rgb(pixels: np.ndarray):
+    """(uniq keys asc, counts i64, inverse i32) for an (N, 3) uint8 stream —
+    hist_u32 over the packed 24-bit colors with the packing fused in C."""
+    lib = _load()
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    n = pixels.shape[0]
+    uniq = np.empty(n, dtype=np.uint32)
+    counts = np.empty(n, dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int32)
+    u = lib.hist_rgb(_as_u8p(pixels), n,
+                     uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                     counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                     _as_i32p(inverse))
+    if u < 0:
+        raise MemoryError("hist_rgb")
+    return uniq[:u].copy(), counts[:u].copy(), inverse
+
+
+def delta_keys(scan: np.ndarray) -> np.ndarray:
+    """Packed (d+255) 9-bit-per-channel diff keys of an (N, 3) uint8 scan."""
+    lib = _load()
+    scan = np.ascontiguousarray(scan, dtype=np.uint8)
+    out = np.empty(scan.shape[0], dtype=np.uint32)
+    lib.delta_keys(_as_u8p(scan), scan.shape[0],
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
 
 
 def _roundtrip_call(name: str, data) -> bytes:

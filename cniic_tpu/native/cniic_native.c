@@ -952,6 +952,44 @@ EXPORT void scatter_rgb(const uint8_t *rgb, const int64_t *perm, int64_t n,
  * record loop with the count==255 cap, ser.rs:210-222 layout). Runs longer
  * than 255 split as 255,...,remainder. out must hold 12*n bytes; returns
  * the number of bytes written. */
+EXPORT int64_t hist_u32(const uint32_t *keys, int64_t n,
+                        uint32_t *uniq, int64_t *counts, int32_t *inverse);
+
+/* Fused RGB->24-bit-key + histogram: identical output to hist_u32 over
+ * pack_colors(pixels), but the key packing happens inline during the first
+ * radix pass instead of materializing numpy temporaries on the host
+ * (~10 ms/MP of pure array traffic saved). */
+EXPORT int64_t hist_rgb(const uint8_t *rgb, int64_t n,
+                        uint32_t *uniq, int64_t *counts, int32_t *inverse) {
+    if (n <= 0) return 0;
+    uint32_t *keys = (uint32_t *)malloc((size_t)n * sizeof(uint32_t));
+    if (!keys) return -1;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *p = rgb + 3 * i;
+        keys[i] = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+    }
+    int64_t u = hist_u32(keys, n, uniq, counts, inverse);
+    free(keys);
+    return u;
+}
+
+/* Packed diff keys for the delta codec (hilbertc.rs:442-445 semantics):
+ * keys[i] = pack(scan[i] - scan[i-1] + 255) with an implicit [0,0,0]
+ * predecessor; each channel delta lands in [0, 510] and packs into 9 bits. */
+EXPORT void delta_keys(const uint8_t *scan, int64_t n, uint32_t *out) {
+    int pr = 0, pg = 0, pb = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *p = scan + 3 * i;
+        uint32_t dr = (uint32_t)(p[0] - pr + 255);
+        uint32_t dg = (uint32_t)(p[1] - pg + 255);
+        uint32_t db = (uint32_t)(p[2] - pb + 255);
+        out[i] = (dr << 18) | (dg << 9) | db;
+        pr = p[0];
+        pg = p[1];
+        pb = p[2];
+    }
+}
+
 /* MSB-first bit packer (bit.rs:209-253 semantics, zero-padded tail).
  * ids index the codebook; returns bytes written. ~5 ns/symbol — measured
  * 20x the XLA segment-sum scatter path end-to-end on the bench host (TPU

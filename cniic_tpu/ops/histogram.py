@@ -37,7 +37,9 @@ def color_histogram(pixels: np.ndarray):
     hist_u32) — an order of magnitude faster than numpy's stable argsort on
     this class of host.
     """
-    uniq, counts, inverse = key_histogram(pack_colors(pixels))
+    from .. import native
+
+    uniq, counts, inverse = native.hist_rgb(np.ascontiguousarray(pixels))
     return unpack_colors(uniq.astype(np.uint32)), counts, inverse
 
 
