@@ -21,12 +21,6 @@ from .base import Codec
 LEAF_SIZE = 6  # 3 x i16 LE
 
 
-def _pack_diffs(diffs: np.ndarray) -> np.ndarray:
-    """(N,3) int16 in [-255,255] -> uint32 keys for the unique pass."""
-    d = diffs.astype(np.int32) + 255
-    return (d[:, 0].astype(np.uint32) << 18) | (d[:, 1].astype(np.uint32) << 9) | d[:, 2].astype(np.uint32)
-
-
 class Delta(Codec):
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
