@@ -159,6 +159,8 @@ def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
 
     from . import trace
 
+    if not ids_list:
+        return []
     B = len(ids_list)
     books = []
     trees = []

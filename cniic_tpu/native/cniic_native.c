@@ -952,15 +952,15 @@ EXPORT void scatter_rgb(const uint8_t *rgb, const int64_t *perm, int64_t n,
  * record loop with the count==255 cap, ser.rs:210-222 layout). Runs longer
  * than 255 split as 255,...,remainder. out must hold 12*n bytes; returns
  * the number of bytes written. */
-EXPORT int64_t hist_u32(const uint32_t *keys, int64_t n,
-                        uint32_t *uniq, int64_t *counts, int32_t *inverse);
-
 /* Fused RGB->24-bit-key + histogram: identical output to hist_u32 over
  * pack_colors(pixels), but the key packing happens inline during the first
  * radix pass instead of materializing numpy temporaries on the host
  * (~10 ms/MP of pure array traffic saved). */
 EXPORT int64_t hist_rgb(const uint8_t *rgb, int64_t n,
                         uint32_t *uniq, int64_t *counts, int32_t *inverse) {
+    /* defined below (the LSD radix engine) */
+    extern int64_t hist_u32(const uint32_t *, int64_t, uint32_t *,
+                            int64_t *, int32_t *);
     if (n <= 0) return 0;
     uint32_t *keys = (uint32_t *)malloc((size_t)n * sizeof(uint32_t));
     if (!keys) return -1;

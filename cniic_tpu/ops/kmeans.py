@@ -221,8 +221,10 @@ _STALL_LIMIT = 64
 
 
 def _plateau_update(act, new_moved, best, stall):
-    """Shared stall bookkeeping (integer math: improved = moved < 0.98*best)."""
-    improved = new_moved * 100 < best * 98
+    """Shared stall bookkeeping. The 2% bar is computed by subtraction
+    (best - best//50) so the comparison never overflows int32 even for the
+    point-sharded path's huge sets (a multiply form wrapped at ~21.5M)."""
+    improved = new_moved < best - best // 50
     best = jnp.where(jnp.logical_and(act, improved), new_moved, best)
     stall = jnp.where(act, jnp.where(improved, 0, stall + 1), stall)
     return best, stall
@@ -428,30 +430,21 @@ def _prep_host_batch(points_list, k: int, weights_list):
     points_list = [np.asarray(p) for p in points_list]
     d = points_list[0].shape[1]
     ns = np.array([p.shape[0] for p in points_list], np.int64)
-    for p in points_list:
-        if p.shape[1] != d:
-            raise ValueError("kmeans batch lanes must share dimensionality")
-        n = p.shape[0]
-        if n < k:
-            raise ValueError(f"k-means needs at least k points ({n} < {k})")
-        if n // k == 0:
-            raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
-        if n > 4_000_000:
-            raise ValueError("kmeans int32 digit-plane means support <= 4M points")
-
     if weights_list is None:
         weights_list = [None] * B
+    for p, wl in zip(points_list, weights_list):
+        if p.shape[1] != d:
+            raise ValueError("kmeans batch lanes must share dimensionality")
+        _validate_lane(p, wl, k)
     max_val = max(int(p.max(initial=0)) for p in points_list)
     max_w = max(
         1 if wl is None else max(int(np.max(wl)), 1) for wl in weights_list)
     max_prod = max_val * max_w
     if max_prod >= 2**31:
+        # note: a GLOBAL bound — lanes that pass alone can violate it in a
+        # mixed batch; kmeans_batch(on_error="collect") falls back to
+        # per-lane runs when that happens
         raise ValueError("kmeans weighted values must fit int32")
-    for p, wl in zip(points_list, weights_list):
-        tot = p.shape[0] if wl is None else int(np.asarray(wl, np.int64).sum())
-        if tot >= 2**27:
-            # the base-16 long division's remainder bound (see _iteration)
-            raise ValueError("kmeans total weight must be < 2^27 (~134M pixels)")
     if max_val > 2048:
         log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
                     "exactness and convergence may slow")
@@ -499,6 +492,24 @@ def _prep_host_batch(points_list, k: int, weights_list):
             bs, vp, wp, pk, d2_bound)
 
 
+def _validate_lane(p: np.ndarray, wl, k: int) -> None:
+    """Cheap per-lane feasibility checks (no padding, no uploads)."""
+    n = p.shape[0]
+    if n < k:
+        raise ValueError(f"k-means needs at least k points ({n} < {k})")
+    if n // k == 0:
+        raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
+    if n > 4_000_000:
+        raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+    max_w = 1 if wl is None else max(int(np.max(wl)), 1)
+    if int(p.max(initial=0)) * max_w >= 2**31:
+        raise ValueError("kmeans weighted values must fit int32")
+    tot = n if wl is None else int(np.asarray(wl, np.int64).sum())
+    if tot >= 2**27:
+        # the base-16 long division's remainder bound (see _iteration)
+        raise ValueError("kmeans total weight must be < 2^27 (~134M pixels)")
+
+
 def _check_active(active: int, k: int, n: int) -> None:
     min_required = min(n, int(0.99 * k))
     if active < min_required:
@@ -534,7 +545,7 @@ def kmeans_batch(points_list, k: int, weights_list=None,
             weights_list = [None] * len(points_list)
         for i, (p, wl) in enumerate(zip(points_list, weights_list)):
             try:
-                _prep_host_batch([p], k, [wl])
+                _validate_lane(np.asarray(p), wl, k)
             except (ValueError, AssertionError) as e:
                 errs[i] = e
                 continue
@@ -550,8 +561,19 @@ def kmeans_batch(points_list, k: int, weights_list=None,
                 for i, r in zip(keep, sub):
                     out[i] = r
             return out
-    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
-        _prep_host_batch(points_list, k, weights_list)
+    try:
+        (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
+            _prep_host_batch(points_list, k, weights_list)
+    except ValueError:
+        # cross-lane bound (global max_val*max_w) with individually valid
+        # lanes: fall back to per-lane runs so the isolation contract holds
+        if on_error != "collect" or len(points_list) <= 1:
+            raise
+        if weights_list is None:
+            weights_list = [None] * len(points_list)
+        return [kmeans_batch([p], k, [wl], max_iters=max_iters,
+                             on_error="collect")[0]
+                for p, wl in zip(points_list, weights_list)]
     it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, d2b, max_iters)
     cents_np = np.array(cents).astype(np.int64)

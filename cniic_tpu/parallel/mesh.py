@@ -181,10 +181,11 @@ def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
     # burst loop then only moves the small carried state per iteration
     pts_up = pts_i.astype(np.int16) if max_val <= 32767 else pts_i
     w_up = w.astype(np.uint8) if max_w < 256 else w
-    pts_f_d, pts_i_d, w_d, _ = km._widen(
-        jnp.asarray(pts_up), jnp.asarray(w_up), jnp.asarray(cur))
+    cur_up = cur.astype(np.uint16) if k <= 65535 else cur
+    pts_f_d, pts_i_d, w_d, cur_d = km._widen(
+        jnp.asarray(pts_up), jnp.asarray(w_up), jnp.asarray(cur_up))
     valid_d = jnp.asarray(valid)
-    cur_d, cents_d = jnp.asarray(cur), jnp.asarray(cents)
+    cents_d = jnp.asarray(cents)
     it, moved, stall = 0, n + 1, 0
     best_d = jnp.int32(min(n + 1, 2**31 - 1))
     stall_d = jnp.int32(0)
