@@ -193,3 +193,50 @@ def test_fast_decode_matches_walker():
             fast = native.huf_decode(cut, left, right, symbol, 0, ids.size,
                                      fast=True)
             np.testing.assert_array_equal(fast, slow)
+
+
+def test_native_packer_matches_bitwriter(rng):
+    """The C pack_bits must emit the exact BitWriter byte stream."""
+    import numpy as np
+
+    from cniic_tpu import huffman, native, wire
+
+    for u, n in ((5, 333), (300, 5000), (2, 77)):
+        freqs = rng.integers(1, 999, u).astype(np.uint64)
+        book = huffman.build_codebook(freqs)
+        ids = rng.integers(0, u, n).astype(np.int32)
+        got = native.pack_bits(book.codes, book.lens, ids)
+        bw = wire.BitWriter()
+        for s in ids:
+            bw.write_bits(int(book.codes[s]), int(book.lens[s]))
+        bw.pad_and_flush()
+        assert got == bw.getvalue()
+
+
+def test_hist_rgb_matches_numpy_pack(rng):
+    import numpy as np
+
+    from cniic_tpu import native
+    from cniic_tpu.ops import histogram
+
+    px = rng.integers(0, 256, (5000, 3)).astype(np.uint8)
+    uniq, counts, inverse = native.hist_rgb(px)
+    uniq2, counts2, inverse2 = native.hist_u32(histogram.pack_colors(px))
+    np.testing.assert_array_equal(uniq, uniq2)
+    np.testing.assert_array_equal(counts, counts2)
+    np.testing.assert_array_equal(inverse, inverse2)
+
+
+def test_delta_keys_matches_reference_recurrence(rng):
+    import numpy as np
+
+    from cniic_tpu import native
+
+    scan = rng.integers(0, 256, (4096, 3)).astype(np.uint8)
+    got = native.delta_keys(scan)
+    d = scan.astype(np.int32)
+    d[1:] -= scan[:-1].astype(np.int32)  # implicit [0,0,0] predecessor
+    d += 255
+    want = (d[:, 0].astype(np.uint32) << 18) | \
+        (d[:, 1].astype(np.uint32) << 9) | d[:, 2].astype(np.uint32)
+    np.testing.assert_array_equal(got, want)
