@@ -109,3 +109,20 @@ def test_pick_block():
     assert kp.pick_block(65536, 128, 4) == 4096
     assert kp.pick_block(65536, 2048, 2) == 512  # VMEM-capped at large k
     assert kp.pick_block(100, 16, 1) == 0        # nothing divides
+
+
+def test_codec_streams_identical_under_forced_kernel(monkeypatch, rng):
+    """Codec-level: forcing the fused kernel (interpret off-TPU) must
+    produce byte-identical streams to the XLA iteration for both k-means
+    codecs — the full-stack version of the step-level parity pins."""
+    from cniic_tpu.codecs import from_spec
+
+    imgs = [rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+            for _ in range(2)]
+    for spec in ("cluster-colors(8)", "voronoi(16)"):
+        codec = from_spec(spec)
+        monkeypatch.setenv("CNIIC_PALLAS_KMEANS", "0")
+        xla = codec.encode_batch(imgs)
+        monkeypatch.setenv("CNIIC_PALLAS_KMEANS", "1")
+        kern = codec.encode_batch(imgs)
+        assert xla == kern, spec
