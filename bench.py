@@ -54,17 +54,20 @@ def synth_image(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-# (spec, image side, images) — sized so host-sequential engines don't dominate
+# (spec, image side, images) — uniform 1024^2 x 4 across all nine configs
+# (VERDICT r2 #8: the old suite shrank the zip configs to 512^2 x 2, which
+# made their numbers incomparable with the rest; r3 geomeans therefore have
+# a one-time discontinuity vs r2 — noted in BENCH_NOTES.md)
 SUITE = [
     ("hufman", 1024, 4),
     ("delta", 1024, 4),
     ("hilbert(rle)", 1024, 4),
     ("hilbert(rle(4))", 1024, 4),
-    ("cluster-colors(32)", 768, 4),
-    ("voronoi(128)", 768, 4),
-    ("hilbert(zip)", 512, 2),
-    ("zip(dict)", 512, 2),
-    ("zip(back)", 512, 2),
+    ("cluster-colors(32)", 1024, 4),
+    ("voronoi(128)", 1024, 4),
+    ("hilbert(zip)", 1024, 4),
+    ("zip(dict)", 1024, 4),
+    ("zip(back)", 1024, 4),
 ]
 
 TRIALS = 5

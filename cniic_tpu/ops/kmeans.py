@@ -51,6 +51,13 @@ log = logging.getLogger(__name__)
 _BLOCK = 16384
 
 
+class CrossLaneBoundError(ValueError):
+    """A batch-global bound (max_val * max_w across lanes) failed even though
+    every lane passes alone — the only ValueError kmeans_batch may legally
+    retry per-lane (ADVICE.md r2: a blanket ValueError catch was silently
+    downgrading caller bugs like mixed-dimensionality batches)."""
+
+
 def _assign_stats_xla(pts_f, pts_i, w, valid, cur, cents_f, k: int, bs: int, vp: int, wp: int, pk: int):
     """Assignment + centroid statistics for one step (the shardable core).
     Shapes: pts [n_pad, d] (f32 / int32), w int32[n_pad] (0 for padding),
@@ -444,7 +451,7 @@ def _prep_host_batch(points_list, k: int, weights_list):
         # note: a GLOBAL bound — lanes that pass alone can violate it in a
         # mixed batch; kmeans_batch(on_error="collect") falls back to
         # per-lane runs when that happens
-        raise ValueError("kmeans weighted values must fit int32")
+        raise CrossLaneBoundError("kmeans weighted values must fit int32")
     if max_val > 2048:
         log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
                     "exactness and convergence may slow")
@@ -564,7 +571,7 @@ def kmeans_batch(points_list, k: int, weights_list=None,
     try:
         (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
             _prep_host_batch(points_list, k, weights_list)
-    except ValueError:
+    except CrossLaneBoundError:
         # cross-lane bound (global max_val*max_w) with individually valid
         # lanes: fall back to per-lane runs so the isolation contract holds
         if on_error != "collect" or len(points_list) <= 1:

@@ -142,8 +142,11 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
         res.decode_s += time.perf_counter() - t1
         for j, i in enumerate(ok_idx):
             decoded_all[i] = dec_ok[j]
-    except Exception:
-        pass  # per-image path below reports the error
+    except Exception as e:
+        # per-image decode below recovers the rows, but a systematically
+        # broken decode_batch must not hide (ADVICE.md r2): say so once
+        print(f"warning: {codec.name} decode_batch failed "
+              f"({e!r}); falling back to per-image decode")
 
     for p, img, data, decoded in zip(names, imgs, blobs, decoded_all):
         try:

@@ -165,3 +165,33 @@ def test_kmeans_batch_lanes_match_single():
         sc, sa, _ = kmeans.kmeans(p, 8, weights=w)
         np.testing.assert_array_equal(bc, sc)
         np.testing.assert_array_equal(ba, sa)
+
+
+def test_batch_mixed_dimensionality_raises(rng):
+    """Mixed-d batches are a caller bug and must surface even in collect
+    mode (ADVICE.md r2: the CrossLaneBoundError fallback used to swallow
+    this and silently retry per-lane)."""
+    p2 = rng.integers(0, 256, (64, 2)).astype(np.int64)
+    p3 = rng.integers(0, 256, (64, 3)).astype(np.int64)
+    with pytest.raises(ValueError, match="share dimensionality"):
+        kmeans.kmeans_batch([p2, p3], 4, on_error="collect")
+
+
+def test_batch_cross_lane_bound_falls_back_per_lane(rng):
+    """The one legal per-lane retry: a global max_val*max_w overflow from
+    mixing a high-value lane with a high-weight lane, each valid alone."""
+    hi_val = rng.integers(0, 2048, (64, 3)).astype(np.int64)
+    hi_val[0, 0] = 2100  # max_val 2100 * max_w 2^20 > 2^31 combined only
+    hi_w = rng.integers(0, 256, (64, 3)).astype(np.int64)
+    w_small = np.ones(64, np.int64)
+    w_big = np.full(64, 2**20, np.int64)  # total weight 2^26 < 2^27 bound
+    res = kmeans.kmeans_batch([hi_val, hi_w], 4,
+                              weights_list=[w_small, w_big],
+                              on_error="collect")
+    assert all(not isinstance(r, Exception) for r in res)
+    # per-lane results match running each lane alone
+    solo = [kmeans.kmeans_batch([hi_val], 4, weights_list=[w_small])[0],
+            kmeans.kmeans_batch([hi_w], 4, weights_list=[w_big])[0]]
+    for r, s in zip(res, solo):
+        np.testing.assert_array_equal(r[0], s[0])
+        np.testing.assert_array_equal(r[1], s[1])

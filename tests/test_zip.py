@@ -90,3 +90,16 @@ def test_zip_back_ring_wraparound(rng):
     enc = native.zip_back_encode(data)
     assert len(enc) < len(data) // 10
     assert native.zip_back_decode(enc) == data
+
+
+def test_zip_back_explicit_cap_split(rng):
+    """Documented divergence (PARITY.md #13): on inputs whose incompressible
+    prefix exceeds the 15-bit explicit length field, the reference PANICS
+    (the Symbol serialization assert at back.rs:45 — its doubling growth
+    never flushes mid-run), while this engine flushes at 32767 and opens a
+    fresh explicit run. Pin the chosen behavior: a 40KB matchless input
+    becomes exactly Explicit(32767) + Explicit(7233) and round-trips."""
+    data = rng.integers(0, 256, 40_000).astype(np.uint8).tobytes()
+    enc = native.zip_back_encode(data)
+    assert enc == _explicit(data[:32767]) + _explicit(data[32767:])
+    assert native.zip_back_decode(enc) == data
