@@ -119,6 +119,12 @@ class ClusterColors(Codec):
 class VoronoiCluster(Codec):
     def __init__(self, n: int) -> None:
         self.n = int(n)
+        # (h, w) -> (list of original np images, device uint8[B, h, w, 3]):
+        # the encode upload kept alive so the fused decode+MSE path can
+        # skip re-uploading the originals (3 B/pixel over the ~35-50 MB/s
+        # tunnel was the whole decode budget). Strong refs keep the id()
+        # match sound; replaced wholesale on every encode batch.
+        self._dev_imgs: dict = {}
 
     def _serialize(self, w: int, h: int, centroids: np.ndarray) -> bytes:
         out = bytearray()
@@ -133,8 +139,11 @@ class VoronoiCluster(Codec):
 
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
-        centroids = kmeans.voronoi_centroids_batch(img[None], self.n)[0]
-        return self._serialize(w, h, centroids)
+        cents, dev = kmeans.voronoi_centroids_batch(
+            img[None], self.n, return_device_imgs=True)
+        if dev is not None:
+            self._dev_imgs[(h, w)] = ([img], dev)
+        return self._serialize(w, h, cents[0])
 
     def encode_batch(self, imgs) -> list[bytes]:
         """Batched: images are bucketed by shape and each bucket runs one
@@ -147,9 +156,11 @@ class VoronoiCluster(Codec):
             buckets.setdefault(im.shape[:2], []).append(i)
         out: list = [None] * len(imgs)
         for (h, w), idxs in buckets.items():
-            cents = kmeans.voronoi_centroids_batch(
+            cents, dev = kmeans.voronoi_centroids_batch(
                 np.stack([imgs[i] for i in idxs]), self.n,
-                on_error="collect")
+                on_error="collect", return_device_imgs=True)
+            if dev is not None:
+                self._dev_imgs[(h, w)] = ([imgs[i] for i in idxs], dev)
             for i, c in zip(idxs, cents):
                 # failed lanes carry their exception through to the runner
                 out[i] = c if isinstance(c, Exception) else self._serialize(w, h, c)
@@ -187,6 +198,45 @@ class VoronoiCluster(Codec):
             for i, im in zip(idxs, imgs):
                 out[i] = im
         return out
+
+    def decode_mse_batch(self, blobs, originals):
+        """Fused device decode + exact MSE (VERDICT r2 #6): reconstruction
+        and the integer error sums run in one device program per shape
+        bucket; only ~1 KB/image of block sums crosses the link. Returns
+        (mses, fetch) where fetch() lazily pulls the reconstructed images
+        for the PNG-save protocol (bench.rs:50-56) and each MSE equals
+        runner.compute_error on the fetched image bit-for-bit."""
+        parsed = [self._parse(b) for b in blobs]
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, (w, h, _, _) in enumerate(parsed):
+            if originals[i].shape[:2] != (h, w):
+                raise ValueError("original/decoded shape mismatch")
+            buckets.setdefault((w, h), []).append(i)
+        mses: list = [None] * len(blobs)
+        fetchers = []
+        for (w, h), idxs in buckets.items():
+            # reuse the encode upload when these exact images just went up
+            cached = self._dev_imgs.get((h, w))
+            if cached is not None and len(cached[0]) == len(idxs) and all(
+                    c is originals[i] for c, i in zip(cached[0], idxs)):
+                orig = cached[1]
+            else:
+                orig = np.stack([originals[i] for i in idxs])
+            m, fetch = voronoi.reconstruct_mse_batch(
+                [parsed[i][2] for i in idxs], [parsed[i][3] for i in idxs],
+                w, h, orig)
+            for i, v in zip(idxs, m):
+                mses[i] = v
+            fetchers.append((idxs, fetch))
+
+        def fetch_all():
+            out: list = [None] * len(blobs)
+            for idxs, f in fetchers:
+                for i, im in zip(idxs, f()):
+                    out[i] = im
+            return out
+
+        return mses, fetch_all
 
     @property
     def name(self) -> str:

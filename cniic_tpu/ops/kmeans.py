@@ -659,13 +659,17 @@ def _voronoi_setup(imgs, k: int, bs: int):
 
 def voronoi_centroids_batch(imgs: np.ndarray, k: int,
                             max_iters: int = 10_000,
-                            on_error: str = "raise"):
+                            on_error: str = "raise",
+                            return_device_imgs: bool = False):
     """K-means over all pixels as (x, y, r, g, b) points for a same-shape
     image batch (clusterc.rs:206-247), entirely device-resident: upload the
     uint8 images, build points/init on device, fetch only the (B, k, 5)
     centroids (the assignment is not part of the voronoi stream).
     Returns a list of int64[k, 5] (or, with on_error="collect", the
     active-cluster exception in place of a failed lane's centroids).
+    With return_device_imgs=True, returns (list, device uint8[B, h, w, 3])
+    so callers can reuse the uploaded batch (the fused decode+MSE path
+    would otherwise pay the 3 B/pixel tunnel upload a second time).
     """
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     B, h, w, _ = imgs.shape
@@ -680,7 +684,8 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
     except ValueError as e:
         if on_error != "collect":
             raise
-        return [e] * B  # same shape => the whole bucket shares the failure
+        # same shape => the whole bucket shares the failure
+        return ([e] * B, None) if return_device_imgs else [e] * B
     if max(h, w) - 1 > 2048:
         log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
                     "exactness and convergence may slow")
@@ -689,8 +694,8 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
     d2_bound = (w - 1) ** 2 + (h - 1) ** 2 + 3 * 255 ** 2
     bs, vp, wp, pk = plan_params(max_val, 1, d2_bound, k)
 
-    pts_f, pts_i, w_dev, valid, cur, cents = _voronoi_setup(
-        jnp.asarray(imgs), k, bs)
+    imgs_dev = jnp.asarray(imgs)
+    pts_f, pts_i, w_dev, valid, cur, cents = _voronoi_setup(imgs_dev, k, bs)
     ns = np.full(B, n, np.int64)
     it, cur, cents = _drive(pts_f, pts_i, w_dev, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, d2_bound, max_iters)
@@ -707,4 +712,4 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
             continue
         out.append(cents_np[b])
     log.info("k-means: %d iterations over %d voronoi lane(s)", it, B)
-    return out
+    return (out, imgs_dev) if return_device_imgs else out

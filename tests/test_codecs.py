@@ -285,3 +285,48 @@ def test_lossy_degenerate_shapes(shape, rng):
         codec = from_spec(spec)
         dec = codec.decode(codec.encode(img))
         assert dec.shape == img.shape, (spec, shape)
+
+
+def test_voronoi_decode_mse_batch_matches_plain(rng):
+    """The fused device decode+MSE path (VERDICT r2 #6) must reproduce both
+    the decode_batch images and compute_error bit-for-bit, including mixed
+    shape buckets."""
+    codec = from_spec("voronoi(8)")
+    imgs = [rng.integers(0, 256, (32, 48, 3)).astype(np.uint8),
+            rng.integers(0, 256, (40, 24, 3)).astype(np.uint8),
+            rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)]
+    blobs = codec.encode_batch(imgs)
+    plain = codec.decode_batch(blobs)
+    mses, fetch = codec.decode_mse_batch(blobs, imgs)
+    fetched = fetch()
+    for im, dec, f, mse in zip(imgs, plain, fetched, mses):
+        np.testing.assert_array_equal(dec, f)
+        assert mse == compute_error(im, dec)
+
+
+def test_runner_uses_fused_voronoi_path(tmp_path, rng):
+    """The batched runner rides decode_mse_batch and still writes the
+    decoded PNG per lossy image (bench.rs:50-56 protocol)."""
+    import os
+
+    from cniic_tpu import runner
+
+    paths = []
+    for i in range(2):
+        img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        p = tmp_path / f"im{i}.png"
+        from cniic_tpu import image_io
+        image_io.save_png(img, str(p))
+        paths.append(str(p))
+    res = runner.measure_all(from_spec("voronoi(8)"), paths,
+                             output_dir=str(tmp_path / "out"),
+                             verbose=False, batch=2)
+    assert len(res.rows) == 2 and not res.failures
+    for i in range(2):
+        assert os.path.exists(tmp_path / "out" / f"im{i}.png")
+    # MSE recorded equals the host recomputation on the saved image
+    for p, row in zip(paths, res.rows):
+        img = image_io.load_image(p)
+        stem = os.path.splitext(os.path.basename(p))[0]
+        dec = image_io.load_image(str(tmp_path / "out" / f"{stem}.png"))
+        assert row[3] == compute_error(img, dec)
