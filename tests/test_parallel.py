@@ -75,3 +75,21 @@ def test_dryrun_multichip_entry():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     g.dryrun_multichip(8)
+
+
+def test_batch_sharded_pallas_kernel_bit_identical(mesh8, rng, monkeypatch):
+    """VERDICT r2 #7: the fused Pallas kernel rides shard_map under a mesh
+    (interpret mode on CPU) instead of falling back to the XLA body; the
+    sharded-kernel streams must equal the single-device-kernel streams."""
+    from cniic_tpu.codecs import from_spec
+
+    monkeypatch.setenv("CNIIC_PALLAS_KMEANS", "1")
+    imgs = [rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+            for _ in range(8)]
+    for spec in ("cluster-colors(4)", "voronoi(8)"):
+        codec = from_spec(spec)
+        sharded = codec.encode_batch(imgs)           # B=8 -> mesh + kernel
+        monkeypatch.setenv("CNIIC_MESH", "0")
+        single = codec.encode_batch(imgs)            # single-device kernel
+        monkeypatch.delenv("CNIIC_MESH")
+        assert sharded == single, spec
