@@ -30,6 +30,11 @@ data/DIV2K_valid_HR: data/DIV2K_valid_HR.zip
 synth-corpus:
 	python scripts/make_synth_corpus.py data/synth 24
 
+# DIV2K-shaped corpus: 20 x 2040x1356 natural-statistics images (1/f^1.8
+# spectra, correlated chroma, flat patches) — the parity-table corpus
+div2k-shaped-corpus:
+	python scripts/make_synth_corpus.py data/div2k_shaped 20 --div2k
+
 LOSSLESS_DIAGRAM = output/boxplot.png
 LOSSY_DIAGRAM = output/error_vs_compression.png
 TRACKED_DIAGRAMS = lossy_status.png lossless_status.png

@@ -63,7 +63,19 @@ class Hilbert(Codec):
             # fused C pass: RLE + record framing in one sweep (identical
             # records to ops.rle.rle_exact + _records_to_bytes, test-pinned)
             return header + native.rle_frame(scan)
-        counts, colors = native.approx_rle_encode(scan, self.allow)
+        import os
+
+        if (os.environ.get("CNIIC_CHUNKED_RLE", "") == "1"
+                and float(self.allow).is_integer()):
+            # speculative ~1024-chunk device encode + exact seam stitching
+            # (VERDICT r2 #2): byte-identical to the native engine (pinned
+            # by tests); opt-in — on the tunneled bench host the 3 B/pixel
+            # upload alone caps it below the C engine (BENCH_NOTES.md)
+            from ..ops import approx_rle as parle
+
+            counts, colors = parle.approx_rle_chunked(scan, int(self.allow))
+        else:
+            counts, colors = native.approx_rle_encode(scan, self.allow)
         return header + _records_to_bytes(counts, colors)
 
     def decode(self, data) -> np.ndarray:

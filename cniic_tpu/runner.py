@@ -97,17 +97,47 @@ def measure_all(codec: Codec, paths, output_dir: str = "output",
                     res.rows.append(row)
         else:
             paths = list(paths)
-            for i in range(0, len(paths), batch):
-                group = paths[i : i + batch]
-                for row in _measure_batch(codec, group, output_dir, res, verbose):
-                    if row is not None:
-                        writer.writerow(row)
-                        res.rows.append(row)
+            groups = [paths[i : i + batch] for i in range(0, len(paths), batch)]
+            pipelined = (os.environ.get("CNIIC_PIPELINE", "1") != "0"
+                         and len(groups) > 1)
+            if pipelined:
+                # software pipeline (VERDICT r2 #5, the reference's rayon
+                # fan-out bench.rs:22-27 as overlap): group N+1's encode —
+                # host C histograms/LZ with the GIL released, device
+                # dispatches — runs in a worker thread while the main
+                # thread decodes, verifies and writes group N. On a
+                # one-vCPU host the win is the device-wait windows; on a
+                # real host every C stage overlaps.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=1) as ex:
+                    fut = ex.submit(_load_and_encode, codec, groups[0], res)
+                    for gi in range(len(groups)):
+                        loaded = fut.result()
+                        if gi + 1 < len(groups):
+                            fut = ex.submit(_load_and_encode, codec,
+                                            groups[gi + 1], res)
+                        for row in _verify_group(codec, loaded, output_dir,
+                                                 res, verbose):
+                            if row is not None:
+                                writer.writerow(row)
+                                res.rows.append(row)
+            else:
+                for group in groups:
+                    loaded = _load_and_encode(codec, group, res)
+                    for row in _verify_group(codec, loaded, output_dir, res,
+                                             verbose):
+                        if row is not None:
+                            writer.writerow(row)
+                            res.rows.append(row)
     return res
 
 
-def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbose: bool):
-    """Batched encode (lane-parallel device paths), per-image verify."""
+def _load_and_encode(codec: Codec, group, res: BenchResult):
+    """Pipeline stage 1: load the group and run the batched encode.
+    Returns (names, imgs, blobs) with failures recorded; (.., None) when
+    the whole group failed. Thread-safe with stage 2: only appends to the
+    failure list and adds to the float accumulators."""
     imgs, names = [], []
     for p in group:
         try:
@@ -118,7 +148,7 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
             print(f"error: {p}: {e!r}")
 
     if not imgs:
-        return
+        return names, imgs, None
     t0 = time.perf_counter()
     try:
         blobs = codec.encode_batch(imgs)
@@ -126,10 +156,18 @@ def _measure_batch(codec: Codec, group, output_dir: str, res: BenchResult, verbo
         for p in names:
             res.failures.append((str(p), repr(e)))
         print(f"error: batch {names[0]}..{names[-1]}: {e!r}")
-        return
-    enc_s = time.perf_counter() - t0
-    res.encode_s += enc_s
+        return names, imgs, None
+    res.encode_s += time.perf_counter() - t0
     res.megapixels += sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+    return names, imgs, blobs
+
+
+def _verify_group(codec: Codec, loaded, output_dir: str, res: BenchResult,
+                  verbose: bool):
+    """Pipeline stage 2: decode, verify, save PNGs, yield CSV rows."""
+    names, imgs, blobs = loaded
+    if blobs is None:
+        return
 
     # batched codecs may return an Exception in place of a failed image's
     # stream (e.g. the k-means active-cluster floor) — isolate those images

@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""The zip-back TPU match-finder experiment (VERDICT r2 #1, SURVEY §2.1 #13).
+
+Measures, on the real tunneled v5e, every stage the SURVEY row-13 design
+would need (device rolling 6-byte keys over the framed stream, bucketed
+candidate matching, vectorized match-length extension, host greedy emission)
+against the production C engine on the same stream:
+
+  1. C engine total (the comparator; its match-finding is parse-independent,
+     so a device replacement must beat the whole engine minus emission).
+  2. The tunnel transfers a device match-finder cannot avoid: the framed
+     stream up, the per-position (len u16, back u16) match table down
+     (best_match is parse-independent, so all-positions precompute is the
+     only exact formulation that avoids a device round trip per symbol).
+  3. A REAL device matcher kernel, validated bit-for-bit against a numpy
+     replica of its (K candidates x T-byte cap) semantics: sort-grouped
+     6-byte keys (contiguous shifts, no gather), K nearest predecessors in
+     the sorted order, exact capped extension via index gathers. K/T are
+     cost *lower bounds* for the reference semantics, which need every
+     window candidate (the framed stream's 8-byte constant prefixes put
+     ~35k candidates in a window) and uncapped extension (<= 32767).
+  4. The gather-free alternative's floor: the 13 prefix-doubling sorts a
+     suffix-rank construction would cost before any of its (unsolved)
+     windowed earliest-max machinery.
+
+Run on the TPU host:  python scripts/experiments/zipback_tpu_matchfinder.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+
+from cniic_tpu import native
+from cniic_tpu.codecs.zipc import Zip
+
+
+def synth_stream(side: int) -> np.ndarray:
+    sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+    import bench
+
+    rng = np.random.default_rng(2024)
+    img = bench.synth_image(rng, side, side)
+    return Zip("back")._raw_stream(img)
+
+
+def timed(fn, reps=3):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+# --------------------------------------------------------------------------
+# device matcher: K nearest same-key predecessors, T-byte capped extension
+# --------------------------------------------------------------------------
+
+def device_matcher(K: int, T: int):
+    @jax.jit
+    def match(stream_u8):
+        n = stream_u8.shape[0]
+        s32 = stream_u8.astype(jnp.uint32)
+
+        def byte(i):  # contiguous shifted view, no gather
+            return jnp.roll(s32, -i)  # positions >= n-i wrap; masked below
+
+        lo = byte(0) | (byte(1) << 8) | (byte(2) << 16) | (byte(3) << 24)
+        hi = byte(4) | (byte(5) << 8)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        # sort by (lo, hi); stable keeps positions ascending within a group
+        lo_s, hi_s, pos_s = jax.lax.sort((lo, hi, pos), num_keys=2,
+                                         is_stable=True)
+
+        best_len = jnp.zeros(n, jnp.int32)
+        best_q = jnp.full(n, -1, jnp.int32)
+        tail = jnp.arange(T, dtype=jnp.int32)
+        for j in range(1, K + 1):  # j-th nearest predecessor slot
+            q = jnp.roll(pos_s, j)
+            same = jnp.logical_and(jnp.roll(lo_s, j) == lo_s,
+                                   jnp.roll(hi_s, j) == hi_s)
+            slot = jnp.arange(n, dtype=jnp.int32)
+            same = jnp.logical_and(same, slot >= j)
+            valid = jnp.logical_and(
+                same,
+                jnp.logical_and(q <= pos_s - 6, q >= pos_s - 65535))
+            # exact capped extension: bytes q+6+t vs p+6+t, t < T
+            # (u8 gathers keep the (n, T) tiles at 1 B/elem)
+            a = jnp.take(stream_u8,
+                         jnp.minimum(pos_s[:, None] + 6 + tail[None, :],
+                                     n - 1), axis=0)
+            b = jnp.take(stream_u8,
+                         jnp.minimum(q[:, None] + 6 + tail[None, :],
+                                     n - 1), axis=0)
+            neq = jnp.logical_or(a != b,
+                                 pos_s[:, None] + 6 + tail[None, :] >= n)
+            ext = jnp.argmax(neq, axis=1)
+            ext = jnp.where(jnp.any(neq, axis=1), ext, T)
+            mlen = jnp.minimum(6 + ext, jnp.minimum(pos_s - q, 32767))
+            mlen = jnp.minimum(mlen, n - pos_s)
+            mlen = jnp.where(valid, mlen, 0)
+            # ascending candidate order within the loop: j grows away from
+            # p, so "first strictly longer" here prefers the NEAREST — a
+            # cost-equivalent stand-in for the reference's earliest-max rule
+            better = mlen > best_len
+            best_len = jnp.where(better, mlen, best_len)
+            best_q = jnp.where(better, q, best_q)
+        # scatter back to position order
+        out_len = jnp.zeros(n, jnp.int32).at[pos_s].set(best_len)
+        out_q = jnp.zeros(n, jnp.int32).at[pos_s].set(best_q)
+        return out_len, out_q
+
+    return match
+
+
+def numpy_matcher(stream: np.ndarray, K: int, T: int):
+    """Replica of device_matcher's exact (K, T)-capped semantics."""
+    n = stream.shape[0]
+    s32 = stream.astype(np.uint32)
+
+    def byte(i):
+        return np.roll(s32, -i)
+
+    lo = byte(0) | (byte(1) << 8) | (byte(2) << 16) | (byte(3) << 24)
+    hi = byte(4) | (byte(5) << 8)
+    order = np.lexsort((np.arange(n), hi, lo))
+    lo_s, hi_s, pos_s = lo[order], hi[order], np.arange(n)[order]
+    best_len = np.zeros(n, np.int64)
+    best_q = np.full(n, -1, np.int64)
+    for j in range(1, K + 1):
+        q = np.roll(pos_s, j)
+        same = (np.roll(lo_s, j) == lo_s) & (np.roll(hi_s, j) == hi_s)
+        same &= np.arange(n) >= j
+        valid = same & (q <= pos_s - 6) & (q >= pos_s - 65535)
+        mlen = np.zeros(n, np.int64)
+        for i in np.where(valid)[0]:
+            p, qq = int(pos_s[i]), int(q[i])
+            ext = 0
+            while ext < T and p + 6 + ext < n and stream[p + 6 + ext] == stream[qq + 6 + ext]:
+                ext += 1
+            mlen[i] = min(6 + ext, p - qq, 32767, n - p)
+        better = mlen > best_len
+        best_len = np.where(better, mlen, best_len)
+        best_q = np.where(better, q, best_q)
+    out_len = np.zeros(n, np.int64)
+    out_q = np.zeros(n, np.int64)
+    out_len[pos_s] = best_len
+    out_q[pos_s] = best_q
+    return out_len, out_q
+
+
+def main():
+    # validation first (tiny stream, CPU-friendly sizes, still on device)
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 4, 4096).astype(np.uint8)
+    print("compiling validation kernel...", flush=True)
+    dl, dq = device_matcher(2, 16)(jnp.asarray(small))
+    print("validation kernel done", flush=True)
+    nl, nq = numpy_matcher(small, 2, 16)
+    assert np.array_equal(np.asarray(dl), nl), "device/numpy len mismatch"
+    assert np.array_equal(np.asarray(dq), nq), "device/numpy cand mismatch"
+    print("validation: device matcher == numpy replica (K=2, T=16)")
+
+    for side in (512, 1024):
+        stream = synth_stream(side)
+        n = stream.size
+        print(f"\n--- {side}x{side} framed stream: {n/1e6:.2f} MB ---")
+
+        t_c, enc = timed(lambda: native.zip_back_encode(stream.tobytes()))
+        print(f"C engine total: {t_c:.3f} s "
+              f"({side*side/1e6/t_c:.2f} MP/s, {n/1e6/t_c:.1f} MB/s)")
+
+        # transfer floor: stream up + (len u16, back u16) table down
+        up_t, dev_stream = timed(
+            lambda: jax.device_put(stream).block_until_ready())
+        lens_dev = jnp.zeros(n, jnp.uint16) + dev_stream[0].astype(jnp.uint16)
+        backs_dev = lens_dev + 1
+        dn_t, _ = timed(lambda: (np.asarray(lens_dev), np.asarray(backs_dev)))
+        print(f"transfers: stream up {up_t:.3f} s, match table down {dn_t:.3f} s "
+              f"(sum {(up_t+dn_t)/t_c*100:.0f}% of C total)")
+
+        # device matcher probes
+        for K, T in ((1, 8), (2, 16)):
+            m = device_matcher(K, T)
+            m(dev_stream)  # warm
+            t_dev, out = timed(
+                lambda m=m: jax.block_until_ready(m(dev_stream)), reps=3)
+            # force real sync (block_until_ready is unreliable on axon)
+            np.asarray(out[0][:8])
+            print(f"device matcher K={K} T={T}: {t_dev:.3f} s "
+                  f"({t_dev/t_c:.1f}x C total; full semantics need all "
+                  f"window candidates + uncapped extension)")
+
+        # gather-free floor: 13 prefix-doubling sorts
+        r0 = jnp.asarray(stream.astype(np.uint32))
+        idx = jnp.arange(n, dtype=jnp.int32)
+
+        @jax.jit
+        def sort13(r, i):
+            for _ in range(13):
+                r, _, i = jax.lax.sort((r, jnp.roll(r, -1), i), num_keys=2,
+                                       is_stable=True)
+            return r, i
+
+        sort13(r0, idx)
+        t_sort, out = timed(lambda: jax.block_until_ready(sort13(r0, idx)))
+        np.asarray(out[0][:8])
+        print(f"13 prefix-doubling sorts (suffix-rank floor): {t_sort:.3f} s "
+              f"({t_sort/t_c:.1f}x C total)")
+
+
+if __name__ == "__main__":
+    main()

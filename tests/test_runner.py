@@ -104,3 +104,29 @@ def test_batch_isolates_degenerate_image(tmp_path, rng):
     assert len(res.rows) == 2
     assert len(res.failures) == 1
     assert "im1" in res.failures[0][0]
+
+
+def test_pipelined_batches_match_sequential(tmp_path, rng, monkeypatch):
+    """The software pipeline (encode N+1 overlapping verify N) must produce
+    the same rows/CSV as the sequential path."""
+    import csv
+
+    from cniic_tpu import image_io, runner
+    from cniic_tpu.codecs import from_spec
+
+    paths = []
+    for i in range(5):  # 3 groups of 2 at batch=2 (odd tail exercised)
+        img = rng.integers(0, 256, (16, 20, 3)).astype(np.uint8)
+        p = tmp_path / f"p{i}.png"
+        image_io.save_png(img, str(p))
+        paths.append(str(p))
+    codec = from_spec("hufman")
+    r1 = runner.measure_all(codec, paths, output_dir=str(tmp_path / "a"),
+                            verbose=False, batch=2)
+    monkeypatch.setenv("CNIIC_PIPELINE", "0")
+    r2 = runner.measure_all(codec, paths, output_dir=str(tmp_path / "b"),
+                            verbose=False, batch=2)
+    assert r1.rows == r2.rows and not r1.failures and not r2.failures
+    rows_a = list(csv.reader(open(tmp_path / "a" / "Hufman.csv")))
+    rows_b = list(csv.reader(open(tmp_path / "b" / "Hufman.csv")))
+    assert rows_a == rows_b

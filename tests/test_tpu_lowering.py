@@ -80,3 +80,18 @@ def test_kmeans_pallas_kernel_lowers_for_tpu():
     text = _lower_tpu(f, ptsT, w, cur, cents, n, thresh, moved0,
                       moved0, jnp.zeros_like(moved0), jnp.int32(0)).as_text()
     assert "tpu_custom_call" in text or "mosaic" in text.lower()
+
+
+def test_wide_approx_rle_kernel_lowers_for_tpu():
+    import functools
+
+    import jax.numpy as jnp
+
+    from cniic_tpu.ops import approx_rle as ar
+
+    f = jax.jit(functools.partial(ar._wrun.__wrapped__, n_blocks=2))
+    allow = jnp.asarray([4.0], jnp.float32)
+    lens = jnp.zeros((8, 128), jnp.int32)
+    rgb = jnp.zeros((8, 2 * ar.WBP * 128), jnp.int32)
+    text = _lower_tpu(f, allow, lens, rgb).as_text()
+    assert "tpu_custom_call" in text or "mosaic" in text.lower()
