@@ -45,6 +45,16 @@ class Codec(abc.ABC):
         decoders override to amortize dispatch round trips)."""
         return [self.decode(b) for b in blobs]
 
+    @property
+    def pipeline_profitable(self) -> bool:
+        """Whether the runner's software pipeline (encode group N+1 in a
+        worker thread while group N verifies) helps this codec. True only
+        for codecs with long device stages whose waits the host thread can
+        hide in; pure-host codecs LOSE to the thread handoff on a one-vCPU
+        host (measured r3: voronoi 1.42x faster, cluster-colors 1.19x,
+        hufman 0.84x — BENCH_NOTES.md). CNIIC_PIPELINE=1/0 overrides."""
+        return False
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"<codec {self.name}>"
 

@@ -115,6 +115,10 @@ class ClusterColors(Codec):
     def is_lossless(self) -> bool:
         return False
 
+    @property
+    def pipeline_profitable(self) -> bool:
+        return True  # long device k-means stages; measured win (base.py)
+
 
 class VoronoiCluster(Codec):
     def __init__(self, n: int) -> None:
@@ -245,6 +249,10 @@ class VoronoiCluster(Codec):
     @property
     def is_lossless(self) -> bool:
         return False
+
+    @property
+    def pipeline_profitable(self) -> bool:
+        return True  # long device k-means stages; measured win (base.py)
 
 
 def parse_cluster_colors(spec: str) -> ClusterColors:

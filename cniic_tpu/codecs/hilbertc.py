@@ -95,17 +95,17 @@ class Hilbert(Codec):
 
     def encode_batch(self, imgs) -> list[bytes]:
         """Approximate RLE can encode whole batches in one lane-parallel
-        Pallas sweep (ops/approx_rle.py). The kernel stays opt-in
-        (CNIIC_PALLAS_RLE=1) on measured grounds (r2, v5e, 8x1MP batch):
-        3.5 MP/s vs 33 MP/s for the exact f64 C engine — real workloads
-        carry a handful of streams, not the 128+ the lane layout needs —
-        and its f32 acceptance boundary legitimately rounds a few records
-        per million differently from the reference's f64 recurrence, so it
-        can never be the conformance path. Splitting one image into 1024
-        speculative chunks could close the throughput gap but not the
-        exactness gap (Mosaic has no f64). Refutation details in
-        BENCH_NOTES.md; the kernel remains as the validated pattern for a
-        stack with f64 lanes."""
+        Pallas sweep (ops/approx_rle.py). Both kernels stay opt-in on
+        measured grounds (BENCH_NOTES.md): the 8-lane kernel
+        (CNIIC_PALLAS_RLE=1) reads 3.5 MP/s vs 33+ for the exact-f64 C
+        engine; the r3 wide 1024-lane kernel closes the compute gap
+        (40 MP/s device-resident) AND the exactness gap (integer-exact
+        acceptance + boundary-tie flags + seam-stitched chunking is
+        byte-identical to the reference recurrence, CNIIC_CHUNKED_RLE=1 in
+        `encode`), but end-to-end it is transfer-bound on this host: 4 B/px
+        each way over the 35-50 MB/s tunnel dwarfs the C engine's whole
+        runtime. The C engine stays the default; the chunked path is the
+        production design wherever scans already live in HBM."""
         import os
 
         if (self.mode != "rle" or self.allow == 0.0 or len(imgs) < 2

@@ -98,8 +98,9 @@ def measure_all(codec: Codec, paths, output_dir: str = "output",
         else:
             paths = list(paths)
             groups = [paths[i : i + batch] for i in range(0, len(paths), batch)]
-            pipelined = (os.environ.get("CNIIC_PIPELINE", "1") != "0"
-                         and len(groups) > 1)
+            env = os.environ.get("CNIIC_PIPELINE", "")
+            pipelined = len(groups) > 1 and (
+                env == "1" or (env != "0" and codec.pipeline_profitable))
             if pipelined:
                 # software pipeline (VERDICT r2 #5, the reference's rayon
                 # fan-out bench.rs:22-27 as overlap): group N+1's encode —
