@@ -31,9 +31,11 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
+#include <time.h>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -729,6 +731,10 @@ static inline int64_t match_extend(const uint8_t *a, const uint8_t *c, int64_t l
     return l;
 }
 
+/* prof-only counters (CNIIC_ZB_PROF; single-threaded use only) */
+static int64_t zb_cand_steps, zb_extends, zb_extend_bytes, zb_first6_steps;
+static int64_t zb_steps_bl6;
+
 /* Longest match with the reference's winner rule: the scan takes the first
  * strictly-longer candidate in ascending-position order (back.rs:253-277),
  * i.e. the earliest position achieving the maximum length. One bucket walk
@@ -761,8 +767,10 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
     int64_t hi = zb_lower_bound(pp, lo, ix6->off[b + 1], pos - (ZB_MINREP - 1));
 
     int64_t first6 = -1;
-    for (int64_t i = lo; i < hi; i++)
+    for (int64_t i = lo; i < hi; i++) {
+        zb_first6_steps++;
         if (keyat(in, n, pp[i], ZB_MINREP) == k6) { first6 = pp[i]; break; }
+    }
 
     if (n - pos >= ZB_MINREP + 1) {
         int64_t i = lo, len = hi;
@@ -773,6 +781,8 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
             /* the dword gather reads in[cand+best_len .. +4): bail to
              * the scalar tail once candidates get that close to n */
             if ((int64_t)pp[i + 7] + best_len + 4 > n) break;
+            zb_cand_steps += 8;
+            if (best_len == ZB_MINREP) zb_steps_bl6 += 8;
             __m256i vqb = _mm256_set1_epi32(qa[best_len]);
             __m256i vcut = _mm256_set1_epi32((int32_t)(total - best_len));
             __m256i vpos = _mm256_loadu_si256((const __m256i *)(pp + i));
@@ -789,6 +799,7 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
                 if (lim <= best_len) continue;
                 if (in[cand + best_len] != qa[best_len]) continue;
                 int64_t l = match_extend(qa, in + cand, lim);
+                zb_extends++; zb_extend_bytes += l;
                 if (l > best_len) {
                     best_len = l;
                     best_pos = cand;
@@ -799,6 +810,8 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
 #endif
         for (; i < len; i++) {
             if (best_len >= qcap) break;
+            zb_cand_steps++;
+            if (best_len == ZB_MINREP) zb_steps_bl6++;
             int64_t cand = pp[i];
             int64_t lim = total - cand; /* no run past history end */
             if (lim > qcap) lim = qcap;
@@ -807,6 +820,7 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
              * must match, so the byte at best_len must */
             if (in[cand + best_len] != qa[best_len]) continue;
             int64_t l = match_extend(qa, in + cand, lim);
+            zb_extends++; zb_extend_bytes += l;
             if (l > best_len) {
                 best_len = l;
                 best_pos = cand;
@@ -825,9 +839,17 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
     return ZB_MINREP;
 }
 
+static double zb_now(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
 EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
                            uint8_t **out, int64_t *out_len) {
     if (n >= ((int64_t)1 << 31) - 16) return -1; /* int32 index positions */
+    const int prof = getenv("CNIIC_ZB_PROF") != NULL; /* phase timing probe */
+    double t0 = prof ? zb_now() : 0.0;
     PosIndex ix6 = {0};
     Buf b;
     if (!posindex_build(&ix6, in, n, ZB_MINREP) ||
@@ -835,6 +857,8 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
         posindex_destroy(&ix6);
         return -1;
     }
+    double t1 = prof ? zb_now() : 0.0;
+    int64_t n_queries = 0, n_cand_steps = 0;
 
     int64_t pos = 0;
     int64_t exp_start = 0, exp_len = 0; /* current explicit run = in[exp_start..+exp_len) */
@@ -842,7 +866,9 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
 
     while (ok) {
         int64_t back;
+        n_queries++;
         int64_t mlen = best_match(&ix6, in, n, pos, &back);
+        (void)n_cand_steps;
         if (mlen >= ZB_MINREP) {
             /* flush explicit, then the lookback (back.rs:188-199) */
             if (exp_len > 0) {
@@ -876,6 +902,16 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
         }
     }
 
+    if (prof) {
+        fprintf(stderr, "zb_prof: n=%lld index=%.3fs parse=%.3fs queries=%lld "
+                "cand_steps=%lld (bl6=%lld) extends=%lld extend_bytes=%lld first6=%lld\n",
+                (long long)n, t1 - t0, zb_now() - t1, (long long)n_queries,
+                (long long)zb_cand_steps, (long long)zb_steps_bl6,
+                (long long)zb_extends,
+                (long long)zb_extend_bytes, (long long)zb_first6_steps);
+        zb_cand_steps = zb_extends = zb_extend_bytes = zb_first6_steps = 0;
+        zb_steps_bl6 = 0;
+    }
     posindex_destroy(&ix6);
     if (!ok) { free(b.data); return -1; }
     *out = b.data;
