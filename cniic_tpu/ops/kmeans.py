@@ -218,6 +218,33 @@ def _widen(pu, wu, cu):
     return pi.astype(jnp.float32), pi, wu.astype(jnp.int32), cu.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _widen_init(pu, wu, n_dev, k: int):
+    """Widen narrow uploads AND build the init state on device: the
+    valid mask, the tail-chunk initial assignment (kmeans.rs:61-78) and
+    the first-point-of-chunk centroids are all pure index arithmetic over
+    (n, k), so uploading them (2-3 B/point in the old layout) was wasted
+    tunnel traffic. Bit-identical to the host-built state (pinned by the
+    batch==sequential and golden-stream tests)."""
+    B, n_pad, d = pu.shape
+    pi = pu.astype(jnp.int32)
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def lane(p, n):
+        ppc = n // k
+        tail_start = n - (k - 1) * ppc
+        valid = idx < n
+        cur = jnp.where(idx < tail_start, k - 1,
+                        (n - 1 - idx) // jnp.maximum(ppc, 1)).astype(jnp.int32)
+        cur = jnp.where(valid, cur, 0)
+        kk = jnp.arange(k, dtype=jnp.int32)
+        cents_idx = jnp.where(kk == k - 1, 0, n - (kk + 1) * ppc)
+        return valid, cur, p[cents_idx]
+
+    valid, cur, cents = jax.vmap(lane)(pi, n_dev.astype(jnp.int32))
+    return pi.astype(jnp.float32), pi, wu.astype(jnp.int32), valid, cur, cents
+
+
 # a lane also freezes after this many consecutive iterations without a 2%
 # move-count improvement — the plateau safety net for pathological limit
 # cycles above the 0.1% threshold. Evaluated per iteration ON DEVICE so the
@@ -476,37 +503,27 @@ def _prep_host_batch(points_list, k: int, weights_list):
     n_pad = -(-int(ns.max()) // bs) * bs
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
     w = np.zeros((B, n_pad), dtype=np.int32)
-    valid = np.zeros((B, n_pad), dtype=bool)
-    cur = np.zeros((B, n_pad), dtype=np.int32)
-    cents = np.zeros((B, k, d), dtype=np.int32)
     for b, (p, wl) in enumerate(zip(points_list, weights_list)):
         n = p.shape[0]
         pts_i[b, :n] = p
         w[b, :n] = 1 if wl is None else wl
-        valid[b, :n] = True
-        # --- init (tail-chunk split, kmeans.rs:61-78) ---
-        ppc = n // k
-        tail_start = n - (k - 1) * ppc
-        cur[b, :tail_start] = k - 1
-        if k > 1:
-            j = np.arange(tail_start, n)
-            cur[b, tail_start:n] = (n - 1 - j) // ppc
-        for i in range(k - 1):
-            cents[b, i] = p[n - (i + 1) * ppc]
-        cents[b, k - 1] = p[0]
 
     # Narrow uploads (the tunnel link, ~35-50 MB/s, is a real cost at
-    # megapixel point counts): points as int16 (values are < 2048 per the
-    # exactness contract), weights as uint8 when they fit, the initial
-    # assignment as uint16; one tiny device program widens to the loop's
-    # int32/f32 working set so the burst-loop signature stays stable.
-    pts_up = pts_i.astype(np.int16) if max_val <= 32767 else pts_i
+    # megapixel point counts): points as uint8 when they are colors,
+    # int16 below the exactness bound; weights as uint8 when they fit.
+    # The valid mask, tail-chunk init assignment and first-point centroids
+    # are index arithmetic and are built ON DEVICE (_widen_init) instead
+    # of being uploaded (r3: they were 3-4 B/point of pure overhead).
+    if max_val <= 255:
+        pts_up = pts_i.astype(np.uint8)
+    elif max_val <= 32767:
+        pts_up = pts_i.astype(np.int16)
+    else:
+        pts_up = pts_i
     w_up = w.astype(np.uint8) if max_w < 256 else w
-    cur_up = cur.astype(np.uint16) if k <= 65535 else cur
-    pts_f, pts_i_dev, w_dev, cur_dev = _widen(
-        jnp.asarray(pts_up), jnp.asarray(w_up), jnp.asarray(cur_up))
-    valid_dev = jnp.asarray(valid)
-    cents_dev = jnp.asarray(cents)
+    pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev = _widen_init(
+        jnp.asarray(pts_up), jnp.asarray(w_up),
+        jnp.asarray(ns.astype(np.int32)), k)
     return (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, ns,
             bs, vp, wp, pk, d2_bound)
 
