@@ -330,3 +330,26 @@ def test_runner_uses_fused_voronoi_path(tmp_path, rng):
         stem = os.path.splitext(os.path.basename(p))[0]
         dec = image_io.load_image(str(tmp_path / "out" / f"{stem}.png"))
         assert row[3] == compute_error(img, dec)
+
+
+def test_runner_fused_path_isolates_failed_lanes(tmp_path, rng):
+    """A voronoi image failing the k-means validation must not break the
+    fused decode+MSE path for the surviving images (runner blast radius)."""
+    import os
+
+    from cniic_tpu import image_io, runner
+
+    good = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    tiny = rng.integers(0, 256, (2, 2, 3)).astype(np.uint8)  # n < k
+    paths = []
+    for i, img in enumerate([good, tiny, good]):
+        p = tmp_path / f"im{i}.png"
+        image_io.save_png(img, str(p))
+        paths.append(str(p))
+    res = runner.measure_all(from_spec("voronoi(8)"), paths,
+                             output_dir=str(tmp_path / "out"),
+                             verbose=False, batch=3)
+    assert len(res.rows) == 2
+    assert len(res.failures) == 1 and "im1" in res.failures[0][0]
+    assert os.path.exists(tmp_path / "out" / "im0.png")
+    assert os.path.exists(tmp_path / "out" / "im2.png")

@@ -195,3 +195,32 @@ def test_batch_cross_lane_bound_falls_back_per_lane(rng):
     for r, s in zip(res, solo):
         np.testing.assert_array_equal(r[0], s[0])
         np.testing.assert_array_equal(r[1], s[1])
+
+
+@pytest.mark.parametrize("n,k", [(64, 4), (64, 64), (17, 1), (100, 7), (9, 8)])
+def test_device_init_matches_reference_formula(rng, n, k):
+    """_widen_init's on-device init must equal an independent host replica
+    of the reference's tail-chunk rule (kmeans.rs:61-78)."""
+    import jax.numpy as jnp
+
+    p = rng.integers(0, 256, (n, 3)).astype(np.int32)
+    n_pad = -(-n // 8) * 8 + 8  # arbitrary padding
+    pu = np.zeros((1, n_pad, 3), np.uint8)
+    pu[0, :n] = p
+    wu = np.zeros((1, n_pad), np.uint8)
+    wu[0, :n] = 1
+    _, _, _, valid, cur, cents = kmeans._widen_init(
+        jnp.asarray(pu), jnp.asarray(wu),
+        jnp.asarray(np.array([n], np.int32)), k)
+    # host replica (straight from the reference's description)
+    ppc = n // k
+    tail = n - (k - 1) * ppc
+    exp_cur = np.zeros(n_pad, np.int32)
+    exp_cur[:tail] = k - 1
+    for j in range(tail, n):
+        exp_cur[j] = (n - 1 - j) // ppc
+    exp_cents = np.array([p[n - (i + 1) * ppc] for i in range(k - 1)] + [p[0]])
+    np.testing.assert_array_equal(np.asarray(valid)[0, :n], True)
+    np.testing.assert_array_equal(np.asarray(valid)[0, n:], False)
+    np.testing.assert_array_equal(np.asarray(cur)[0], exp_cur)
+    np.testing.assert_array_equal(np.asarray(cents)[0], exp_cents)
