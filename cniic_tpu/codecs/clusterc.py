@@ -127,7 +127,9 @@ class VoronoiCluster(Codec):
         # the encode upload kept alive so the fused decode+MSE path can
         # skip re-uploading the originals (3 B/pixel over the ~35-50 MB/s
         # tunnel was the whole decode budget). Strong refs keep the id()
-        # match sound; replaced wholesale on every encode batch.
+        # match sound; CLEARED at the start of every encode call so at most
+        # one batch's buckets stay pinned in HBM/host RAM (review r3: the
+        # per-bucket update let stale shapes accumulate over a long sweep).
         self._dev_imgs: dict = {}
 
     def _serialize(self, w: int, h: int, centroids: np.ndarray) -> bytes:
@@ -143,6 +145,7 @@ class VoronoiCluster(Codec):
 
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
+        self._dev_imgs.clear()
         cents, dev = kmeans.voronoi_centroids_batch(
             img[None], self.n, return_device_imgs=True)
         if dev is not None:
@@ -159,6 +162,7 @@ class VoronoiCluster(Codec):
         for i, im in enumerate(imgs):
             buckets.setdefault(im.shape[:2], []).append(i)
         out: list = [None] * len(imgs)
+        self._dev_imgs.clear()
         for (h, w), idxs in buckets.items():
             cents, dev = kmeans.voronoi_centroids_batch(
                 np.stack([imgs[i] for i in idxs]), self.n,

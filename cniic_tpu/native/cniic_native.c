@@ -858,7 +858,7 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
         return -1;
     }
     double t1 = prof ? zb_now() : 0.0;
-    int64_t n_queries = 0, n_cand_steps = 0;
+    int64_t n_queries = 0;
 
     int64_t pos = 0;
     int64_t exp_start = 0, exp_len = 0; /* current explicit run = in[exp_start..+exp_len) */
@@ -868,7 +868,6 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
         int64_t back;
         n_queries++;
         int64_t mlen = best_match(&ix6, in, n, pos, &back);
-        (void)n_cand_steps;
         if (mlen >= ZB_MINREP) {
             /* flush explicit, then the lookback (back.rs:188-199) */
             if (exp_len > 0) {

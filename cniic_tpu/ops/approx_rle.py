@@ -529,10 +529,12 @@ def approx_rle_chunked(scan: np.ndarray, allow: float, chunk: int = 1024,
             # earliest record end that is a sync point of its chunk
             hit = -1
             for i, q in enumerate(ends.tolist()):
-                jj = q // chunk
-                if q >= n or (jj < n_chunks and starts[jj].size and
-                              np.searchsorted(starts[jj], q) < starts[jj].size and
-                              starts[jj][np.searchsorted(starts[jj], q)] == q):
+                if q >= n:
+                    hit = i
+                    break
+                sj = starts[q // chunk]
+                kq = np.searchsorted(sj, q)
+                if kq < sj.size and sj[kq] == q:
                     hit = i
                     break
             if hit >= 0:

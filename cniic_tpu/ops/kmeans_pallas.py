@@ -307,10 +307,7 @@ def kmeans_loop_pallas_sharded(mesh, k: int, max_iters: int, bs: int,
     """
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    from ..parallel.mesh import shard_map_unchecked
 
     def _local(ptsT, w, cur, cents_i, n, thresh, moved0, best0, stall0, it0):
         it, cur, cents_i, moved, best, stall = kmeans_loop_pallas(
@@ -320,22 +317,11 @@ def kmeans_loop_pallas_sharded(mesh, k: int, max_iters: int, bs: int,
         return jnp.reshape(it, (1,)), cur, cents_i, moved, best, stall
 
     lane = P("batch")
-    kwargs = {}
-    try:  # pallas_call shapes carry no vma info; skip the replication check
-        import inspect
-
-        if "check_vma" in inspect.signature(shard_map).parameters:
-            kwargs["check_vma"] = False
-        elif "check_rep" in inspect.signature(shard_map).parameters:
-            kwargs["check_rep"] = False
-    except (ValueError, TypeError):  # pragma: no cover
-        pass
-    sharded = shard_map(
-        _local, mesh=mesh,
+    sharded = shard_map_unchecked(
+        _local, mesh,
         in_specs=(P("batch", None, None), P("batch", None), P("batch", None),
                   P("batch", None, None), lane, lane, lane, lane, lane, P()),
         out_specs=(lane, P("batch", None), P("batch", None, None),
                    lane, lane, lane),
-        **kwargs,
     )
     return jax.jit(sharded)

@@ -42,6 +42,22 @@ except ImportError:  # pragma: no cover
 jax.config.update("jax_enable_x64", True)
 
 
+def shard_map_unchecked(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map with the replication (vma/rep) check disabled — required
+    when the body contains pallas_call, whose output shapes carry no vma
+    info (the kwarg name differs across jax versions)."""
+    import inspect
+
+    kwargs = {}
+    params = inspect.signature(shard_map).parameters
+    if "check_vma" in params:
+        kwargs["check_vma"] = False
+    elif "check_rep" in params:
+        kwargs["check_rep"] = False
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **kwargs)
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

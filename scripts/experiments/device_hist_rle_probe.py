@@ -68,15 +68,7 @@ def _dev_rle_mask(pix):
 def device_rle(scan: np.ndarray):
     """Device boundary pass + host closed-form 255-cap splitting."""
     mask = np.asarray(_dev_rle_mask(jnp.asarray(scan)))  # 1 B/px download
-    starts = np.flatnonzero(mask)
-    lens = np.diff(np.append(starts, scan.shape[0]))
-    reps = -(-lens // rle.RUN_CAP)
-    total = int(reps.sum())
-    counts = np.full(total, rle.RUN_CAP, dtype=np.uint8)
-    ends = np.cumsum(reps) - 1
-    counts[ends] = (lens - (reps - 1) * rle.RUN_CAP).astype(np.uint8)
-    colors = np.repeat(scan[starts], reps, axis=0)
-    return counts, colors
+    return rle.runs_to_records(np.flatnonzero(mask), scan.shape[0], scan)
 
 
 def timed(fn, reps=3):
