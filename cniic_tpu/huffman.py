@@ -6,7 +6,7 @@ entropy stages are scatter/gather-bound and live on the host, BENCH_NOTES):
 * **host (native C)**: LSD-radix histogramming, optimal code lengths via
   the two-queue method over sorted frequencies, canonical code assignment,
   preorder tree emission/parsing, the ~5 ns/symbol bit packer, and the
-  10-bit prefix-table decoder (bit-serial walker kept as oracle). Any
+  16-bit prefix-table decoder (bit-serial walker kept as oracle). Any
   optimal code has the same total payload bits as the reference's
   heap-built code (sum freq*len is invariant across optimal prefix codes),
   so compressed sizes match to within final-byte padding; we pin a
@@ -117,7 +117,7 @@ def encode_payload(symbol_ids: np.ndarray, book: Codebook, device: bool = True,
 def decode_payload(payload, left, right, symbol, n_symbols: int) -> np.ndarray:
     """Decode the payload into preorder-leaf ids.
 
-    Default: the native 10-bit prefix-table decoder. With
+    Default: the native 16-bit prefix-table decoder. With
     CNIIC_DEVICE_HUF_DECODE=1 the self-synchronizing chunked on-chip
     decoder (ops/hufdec.py) runs first and the host path is its fallback
     (the device decoder wins on compute but loses to the tunnel's transfer

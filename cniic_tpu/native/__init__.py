@@ -137,7 +137,7 @@ def gilbert_curve(w: int, h: int) -> np.ndarray:
 def huf_decode(payload: bytes | np.ndarray, left: np.ndarray, right: np.ndarray,
                symbol: np.ndarray, root: int, n_symbols: int,
                fast: bool = True) -> np.ndarray:
-    """Decode an MSB-first payload into symbol ids. Default is the 10-bit
+    """Decode an MSB-first payload into symbol ids. Default is the 16-bit
     prefix-table decoder (huf_decode_fast); fast=False forces the plain
     bit-serial trie walk (the conformance oracle — both decode identical
     ids for any valid preorder tree, pinned by tests)."""

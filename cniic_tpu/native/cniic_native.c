@@ -208,14 +208,15 @@ EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
     return produced;
 }
 
-/* Table-accelerated decode: a 10-bit prefix lookup resolves any code of
- * <= 10 bits (the common case at image entropies) in one load + shift;
- * longer codes continue the trie walk from the internal node the prefix
- * lands on. Works for ANY preorder prefix tree (reference streams
+/* Table-accelerated decode: a 16-bit prefix lookup resolves any code of
+ * <= 16 bits in one load + shift (DIV2K-scale alphabets average ~14.5
+ * bits/code, so a 12-bit table missed most symbols — r3 measured 43 ->
+ * 26-29 ms/MP from widening); longer codes continue the trie walk from
+ * the internal node the prefix lands on. Works for ANY preorder prefix tree (reference streams
  * included), not just our canonical ones, and decodes bit-for-bit the same
  * symbols as huf_decode (tests pin the equality). ~4x the bit-serial walk.
  */
-#define HD_BITS 12
+#define HD_BITS 16
 #define HD_SIZE (1 << HD_BITS)
 
 EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,

@@ -29,7 +29,7 @@ Economics (measured on v5e, 4x1MP hufman batch — BENCH_NOTES.md): the
 algorithm is correct and fully parallel, but every bit-step is two XLA
 gathers (payload byte, trie edge) and TPU gather throughput measured ~30M
 elements/s — pass 1 alone needs E x payload_bits of them. Result: ~31 s vs
-0.20 s for the host 10-bit-table decoder. This is structural, not a tuning
+0.20 s for the host prefix-table decoder (12-bit at the time; 16-bit since r3). This is structural, not a tuning
 gap: TPUs have no fast random-gather unit, and bit-serial entropy decode is
 gather-bound by nature; the TPU-native division of labor is host entropy
 decode + device pixel transforms. The path stays opt-in
