@@ -341,8 +341,11 @@ static inline uint64_t hash64(uint64_t k) {
  * itself: a descent step touches ONE cache line of the contiguous node
  * array instead of chasing separate key/edge heap buffers (was 3 misses
  * per step, ~80% of encode time). Storage only — match results are
- * identical to the reference's map semantics. */
-#define DT_THRESHOLD 64
+ * identical to the reference's map semantics.
+ * DT_THRESHOLD swept in r3 on the 1024^2 framed stream (64/32/16/8/6/4 ->
+ * 43.6/50.2/51.8/59.5/58.8/55.9 MB/s): early promotion to direct indexing
+ * beats linear scans well before the reference's 64. */
+#define DT_THRESHOLD 8
 #define DT_INLINE 4
 
 typedef struct { int32_t code, child; } DEdge; /* -1 = absent */
