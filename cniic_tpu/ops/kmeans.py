@@ -317,6 +317,31 @@ def _active_counts(cur, valid, k: int):
     return jax.vmap(one)(cur, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pack_results_u16(cur, cents, k: int):
+    """Assignment + centroids as ONE uint16 array: each np.asarray fetch
+    pays a full tunnel round trip (~25-50 ms measured), so the result
+    fetch is packed when values fit u16 (cur < k <= 65535; centroid
+    components <= max_val <= 65535 — truncated means / stolen points stay
+    within the input range)."""
+    B = cur.shape[0]
+    return jnp.concatenate(
+        [cur.astype(jnp.uint16),
+         cents.reshape(B, k * cents.shape[2]).astype(jnp.uint16)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _voronoi_finish_u16(cur, valid, cents, k: int):
+    """Active-cluster counts + centroids in ONE uint16 fetch (voronoi
+    doesn't need the assignment on host; coords <= 2047 and colors <= 255
+    both fit u16). Saves two tunnel round trips per bucket."""
+    B = cur.shape[0]
+    actives = _active_counts.__wrapped__(cur, valid, k).astype(jnp.uint16)
+    return jnp.concatenate(
+        [actives[:, None],
+         cents.reshape(B, k * cents.shape[2]).astype(jnp.uint16)], axis=1)
+
+
 def plan_params(max_val: int, max_w: int, d2_bound: int, k: int):
     """Static iteration parameters from the value bounds (shared by the
     single-chip prep and the sharded step so the two can't drift):
@@ -612,8 +637,18 @@ def kmeans_batch(points_list, k: int, weights_list=None,
                 for p, wl in zip(points_list, weights_list)]
     it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, d2b, max_iters)
-    cents_np = np.array(cents).astype(np.int64)
-    assign_np = np.asarray(cur)
+    d = cents.shape[2]
+    max_val = max(int(np.asarray(p).max(initial=0)) for p in points_list)
+    if k <= 65535 and max_val <= 65535:
+        # one packed u16 fetch instead of two round trips (~50 ms saved
+        # per batch on the tunnel — measured r3)
+        packed = np.asarray(_pack_results_u16(cur, cents, k))
+        n_pad = cur.shape[1]
+        assign_np = packed[:, :n_pad].astype(np.int32)
+        cents_np = packed[:, n_pad:].reshape(-1, k, d).astype(np.int64)
+    else:
+        cents_np = np.array(cents).astype(np.int64)
+        assign_np = np.asarray(cur)
     out = []
     for b, n in enumerate(ns.tolist()):
         assignment = assign_np[b, :n]
@@ -728,8 +763,11 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
     ns = np.full(B, n, np.int64)
     it, cur, cents = _drive(pts_f, pts_i, w_dev, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, d2_bound, max_iters)
-    actives = np.asarray(_active_counts(cur, valid, k))
-    cents_np = np.array(cents).astype(np.int64)
+    # active counts + centroids in one packed u16 fetch (two fewer tunnel
+    # round trips; coords <= 2047 and colors <= 255 both fit u16)
+    packed = np.asarray(_voronoi_finish_u16(cur, valid, cents, k)).astype(np.int64)
+    actives = packed[:, 0]
+    cents_np = packed[:, 1:].reshape(B, k, 5)
     out = []
     for b in range(B):
         try:
