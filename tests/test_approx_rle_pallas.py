@@ -137,3 +137,24 @@ def test_codec_chunked_gate_byte_identical(rng, monkeypatch):
     base = codec.encode(img)
     monkeypatch.setenv("CNIIC_CHUNKED_RLE", "1")
     assert codec.encode(img) == base
+
+
+def test_chunked_byte_exact_through_flagged_chunks(rng):
+    """Force the stitcher's flagged-chunk replay path with a crafted
+    boundary tie: after the run (3,3,3),(3,3,2),(4,4,3) [sums (10,10,8),
+    count 3], pixel (2,2,2) gives dist2 = 4^2+4^2+2^2 = 36 == (allow*c)^2
+    at allow=2 with all three averages f64-inexact (10/3, 10/3, 8/3) —
+    exactly the ambiguity the kernel must flag. The stitch must stay
+    byte-exact through the flagged chunk's replay."""
+    n = 2048
+    scan = rng.integers(40, 240, (n, 3)).astype(np.uint8)
+    tie = np.array([[3, 3, 3], [3, 3, 2], [4, 4, 3], [2, 2, 2]], np.uint8)
+    scan[700:704] = tie  # inside chunk 1 at chunk=512
+    chunks = np.stack([scan[i * 512 : (i + 1) * 512] for i in range(4)])
+    spec = approx_rle.approx_rle_wide(chunks, np.full(4, 512, np.int64), 2,
+                                      interpret=True)
+    assert spec[1][3], "the crafted tie must flag its chunk"
+    cc, ccol = native.approx_rle_encode(scan, 2.0)
+    kc, kcol = approx_rle.approx_rle_chunked(scan, 2, chunk=512,
+                                             interpret=True)
+    assert np.array_equal(cc, kc) and np.array_equal(ccol, kcol)
