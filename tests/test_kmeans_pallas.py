@@ -105,10 +105,10 @@ def test_two_reduce_variant_matches_packed(monkeypatch):
 
 
 def test_pick_block():
-    assert kp.pick_block(65536, 128, 1) == 4096
-    assert kp.pick_block(65536, 128, 4) == 4096
-    assert kp.pick_block(65536, 2048, 2) == 512  # VMEM-capped at large k
-    assert kp.pick_block(100, 16, 1) == 0        # nothing divides
+    assert kp.pick_block(65536, 128, 1) == 16384
+    assert kp.pick_block(65536, 128, 4) == 16384
+    assert kp.pick_block(65536, 2048, 2) == 2048  # VMEM-capped at large k
+    assert kp.pick_block(100, 16, 1) == 0         # nothing divides
 
 
 def test_codec_streams_identical_under_forced_kernel(monkeypatch, rng):
