@@ -284,7 +284,9 @@ def pick_block(n_pad: int, k: int, batch: int = 1) -> int:
     if env:
         bs = int(env)
         return bs if n_pad % bs == 0 else 0
-    for bs in (16384, 8192, 4096, 2048, 1024, 512, 256, 128):
+    # 32768 measured best for small-k (cluster-colors 13.5 -> 16.8 MP/s);
+    # 65536 regressed slightly (VMEM pressure), so the ladder stops here
+    for bs in (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):
         if n_pad % bs == 0 and batch * k * bs <= 1 << 23:
             return bs
     return 0

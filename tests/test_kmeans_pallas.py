@@ -105,8 +105,9 @@ def test_two_reduce_variant_matches_packed(monkeypatch):
 
 
 def test_pick_block():
-    assert kp.pick_block(65536, 128, 1) == 16384
-    assert kp.pick_block(65536, 128, 4) == 16384
+    assert kp.pick_block(65536, 128, 1) == 32768
+    assert kp.pick_block(65536, 128, 4) == 16384  # VMEM cap: 4*128*bs <= 2^23
+    assert kp.pick_block(65536, 32, 4) == 32768   # the cluster-colors shape
     assert kp.pick_block(65536, 2048, 2) == 2048  # VMEM-capped at large k
     assert kp.pick_block(100, 16, 1) == 0         # nothing divides
 
