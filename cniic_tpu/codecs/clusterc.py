@@ -121,16 +121,30 @@ class ClusterColors(Codec):
 
 
 class VoronoiCluster(Codec):
+    # at most this many encode-upload buckets stay pinned in HBM/host RAM:
+    # the runner pipeline holds two groups in flight (group N decoding while
+    # N+1 encodes in the worker thread), each with a handful of shape
+    # buckets at most
+    _DEV_CACHE_CAP = 4
+
     def __init__(self, n: int) -> None:
         self.n = int(n)
-        # (h, w) -> (list of original np images, device uint8[B, h, w, 3]):
-        # the encode upload kept alive so the fused decode+MSE path can
-        # skip re-uploading the originals (3 B/pixel over the ~35-50 MB/s
-        # tunnel was the whole decode budget). Strong refs keep the id()
-        # match sound; CLEARED at the start of every encode call so at most
-        # one batch's buckets stay pinned in HBM/host RAM (review r3: the
-        # per-bucket update let stale shapes accumulate over a long sweep).
+        # ((h, w), tuple(id(img))) -> (list of original np images, device
+        # uint8[B, h, w, 3]): the encode upload kept alive so the fused
+        # decode+MSE path can skip re-uploading the originals (3 B/pixel
+        # over the ~35-50 MB/s tunnel was the whole decode budget). Keyed
+        # per encode bucket and POPPED by decode_mse_batch (ADVICE r3:
+        # clearing at encode start let the pipelined worker thread wipe
+        # group N's entry before group N's decode read it). The cached list
+        # holds strong refs, so while an entry lives its ids cannot be
+        # reused — a key match implies object identity. FIFO-evicted at
+        # _DEV_CACHE_CAP so stale shapes can't accumulate over a sweep.
         self._dev_imgs: dict = {}
+
+    def _cache_put(self, key, value) -> None:
+        self._dev_imgs[key] = value
+        while len(self._dev_imgs) > self._DEV_CACHE_CAP:
+            self._dev_imgs.pop(next(iter(self._dev_imgs)))
 
     def _serialize(self, w: int, h: int, centroids: np.ndarray) -> bytes:
         out = bytearray()
@@ -145,11 +159,10 @@ class VoronoiCluster(Codec):
 
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
-        self._dev_imgs.clear()
         cents, dev = kmeans.voronoi_centroids_batch(
             img[None], self.n, return_device_imgs=True)
         if dev is not None:
-            self._dev_imgs[(h, w)] = ([img], dev)
+            self._cache_put(((h, w), (id(img),)), ([img], dev))
         return self._serialize(w, h, cents[0])
 
     def encode_batch(self, imgs) -> list[bytes]:
@@ -162,13 +175,13 @@ class VoronoiCluster(Codec):
         for i, im in enumerate(imgs):
             buckets.setdefault(im.shape[:2], []).append(i)
         out: list = [None] * len(imgs)
-        self._dev_imgs.clear()
         for (h, w), idxs in buckets.items():
             cents, dev = kmeans.voronoi_centroids_batch(
                 np.stack([imgs[i] for i in idxs]), self.n,
                 on_error="collect", return_device_imgs=True)
             if dev is not None:
-                self._dev_imgs[(h, w)] = ([imgs[i] for i in idxs], dev)
+                key = ((h, w), tuple(id(imgs[i]) for i in idxs))
+                self._cache_put(key, ([imgs[i] for i in idxs], dev))
             for i, c in zip(idxs, cents):
                 # failed lanes carry their exception through to the runner
                 out[i] = c if isinstance(c, Exception) else self._serialize(w, h, c)
@@ -223,10 +236,12 @@ class VoronoiCluster(Codec):
         mses: list = [None] * len(blobs)
         fetchers = []
         for (w, h), idxs in buckets.items():
-            # reuse the encode upload when these exact images just went up
-            cached = self._dev_imgs.get((h, w))
-            if cached is not None and len(cached[0]) == len(idxs) and all(
-                    c is originals[i] for c, i in zip(cached[0], idxs)):
+            # reuse the encode upload when these exact images just went up:
+            # pop our own entry (cached list holds strong refs, so a key
+            # match implies the ids are the same live objects)
+            key = ((h, w), tuple(id(originals[i]) for i in idxs))
+            cached = self._dev_imgs.pop(key, None)
+            if cached is not None:
                 orig = cached[1]
             else:
                 orig = np.stack([originals[i] for i in idxs])

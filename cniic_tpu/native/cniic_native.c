@@ -735,7 +735,11 @@ static inline int64_t match_extend(const uint8_t *a, const uint8_t *c, int64_t l
     return l;
 }
 
-/* prof-only counters (CNIIC_ZB_PROF; single-threaded use only) */
+/* prof-only counters (CNIIC_ZB_PROF; single-threaded use only).
+ * zb_prof gates every increment (ADVICE r3): unguarded they cost a touch
+ * on every encode and race benignly when the runner pipeline encodes in a
+ * worker thread; profiling runs are explicitly single-threaded. */
+static int zb_prof = 0;
 static int64_t zb_cand_steps, zb_extends, zb_extend_bytes, zb_first6_steps;
 static int64_t zb_steps_bl6;
 
@@ -772,7 +776,7 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
 
     int64_t first6 = -1;
     for (int64_t i = lo; i < hi; i++) {
-        zb_first6_steps++;
+        if (zb_prof) zb_first6_steps++;
         if (keyat(in, n, pp[i], ZB_MINREP) == k6) { first6 = pp[i]; break; }
     }
 
@@ -788,8 +792,8 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
         while (i + 16 <= len) {
             if (best_len >= qcap) break;
             if ((int64_t)pp[i + 15] + best_len + 4 > n) break;
-            zb_cand_steps += 16;
-            if (best_len == ZB_MINREP) zb_steps_bl6 += 16;
+            if (zb_prof) { zb_cand_steps += 16;
+                if (best_len == ZB_MINREP) zb_steps_bl6 += 16; }
             __m512i wqb = _mm512_set1_epi32(qa[best_len]);
             __m512i wcut = _mm512_set1_epi32((int32_t)(total - best_len));
             __m512i wpos = _mm512_loadu_si512((const void *)(pp + i));
@@ -806,7 +810,7 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
                 if (lim <= best_len) continue;
                 if (in[cand + best_len] != qa[best_len]) continue;
                 int64_t l = match_extend(qa, in + cand, lim);
-                zb_extends++; zb_extend_bytes += l;
+                if (zb_prof) { zb_extends++; zb_extend_bytes += l; }
                 if (l > best_len) {
                     best_len = l;
                     best_pos = cand;
@@ -822,8 +826,8 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
             /* the dword gather reads in[cand+best_len .. +4): bail to
              * the scalar tail once candidates get that close to n */
             if ((int64_t)pp[i + 7] + best_len + 4 > n) break;
-            zb_cand_steps += 8;
-            if (best_len == ZB_MINREP) zb_steps_bl6 += 8;
+            if (zb_prof) { zb_cand_steps += 8;
+                if (best_len == ZB_MINREP) zb_steps_bl6 += 8; }
             __m256i vqb = _mm256_set1_epi32(qa[best_len]);
             __m256i vcut = _mm256_set1_epi32((int32_t)(total - best_len));
             __m256i vpos = _mm256_loadu_si256((const __m256i *)(pp + i));
@@ -840,7 +844,7 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
                 if (lim <= best_len) continue;
                 if (in[cand + best_len] != qa[best_len]) continue;
                 int64_t l = match_extend(qa, in + cand, lim);
-                zb_extends++; zb_extend_bytes += l;
+                if (zb_prof) { zb_extends++; zb_extend_bytes += l; }
                 if (l > best_len) {
                     best_len = l;
                     best_pos = cand;
@@ -851,8 +855,8 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
 #endif
         for (; i < len; i++) {
             if (best_len >= qcap) break;
-            zb_cand_steps++;
-            if (best_len == ZB_MINREP) zb_steps_bl6++;
+            if (zb_prof) { zb_cand_steps++;
+                if (best_len == ZB_MINREP) zb_steps_bl6++; }
             int64_t cand = pp[i];
             int64_t lim = total - cand; /* no run past history end */
             if (lim > qcap) lim = qcap;
@@ -861,7 +865,7 @@ static int64_t best_match(const PosIndex *ix6, const uint8_t *in, int64_t n,
              * must match, so the byte at best_len must */
             if (in[cand + best_len] != qa[best_len]) continue;
             int64_t l = match_extend(qa, in + cand, lim);
-            zb_extends++; zb_extend_bytes += l;
+            if (zb_prof) { zb_extends++; zb_extend_bytes += l; }
             if (l > best_len) {
                 best_len = l;
                 best_pos = cand;
@@ -890,6 +894,7 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
                            uint8_t **out, int64_t *out_len) {
     if (n >= ((int64_t)1 << 31) - 16) return -1; /* int32 index positions */
     const int prof = getenv("CNIIC_ZB_PROF") != NULL; /* phase timing probe */
+    zb_prof = prof;
     double t0 = prof ? zb_now() : 0.0;
     PosIndex ix6 = {0};
     Buf b;

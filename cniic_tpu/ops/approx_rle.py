@@ -409,6 +409,14 @@ def approx_rle_wide(scans, lengths, allow: float,
     allow_i = int(allow)
     if allow_i != allow or allow_i < 0:
         raise ValueError("wide kernel needs an integer allowance")
+    if allow_i > 64:
+        # The in-kernel ICL=16384 clamp preserves accept/reject decisions
+        # only while allow*count < 16384 (count <= 255 => allow <= 64, the
+        # same bound the native C fast path enforces); beyond that a
+        # clamped term can flip a decision and (allow*c)^2 overflows int32
+        # from allow >= 183. Callers must use the exact-f64 native engine.
+        raise ValueError("wide kernel supports integer allow <= 64 only "
+                         "(ICL clamp bound; use native.approx_rle_encode)")
     scans = np.ascontiguousarray(scans, dtype=np.uint8)
     B, L, _ = scans.shape
     assert B <= WIDE, "wide kernel packs at most 1024 streams"
@@ -467,6 +475,10 @@ def approx_rle_chunked(scan: np.ndarray, allow: float, chunk: int = 1024,
     n = scan.shape[0]
     if n == 0:
         return (np.zeros(0, np.uint8), np.zeros((0, 3), np.uint8))
+    if not float(allow).is_integer() or not 0 <= allow <= 64:
+        # outside the wide kernel's exact-decision envelope (see
+        # approx_rle_wide): the native engine IS the byte-exact answer
+        return native.approx_rle_encode(scan, allow)
     n_chunks = -(-n // chunk)
     if n_chunks > WIDE:
         chunk = -(-n // WIDE)

@@ -158,3 +158,19 @@ def test_chunked_byte_exact_through_flagged_chunks(rng):
     kc, kcol = approx_rle.approx_rle_chunked(scan, 2, chunk=512,
                                              interpret=True)
     assert np.array_equal(cc, kc) and np.array_equal(ccol, kcol)
+
+
+def test_wide_kernel_rejects_allow_beyond_clamp_bound(rng):
+    """ADVICE r3: the wide kernel's ICL=16384 clamp only preserves
+    accept/reject decisions for allow <= 64 (the native fast-path bound);
+    larger allowances must raise, and the chunked stitcher must fall back
+    to the exact-f64 native engine instead of silently diverging."""
+    scan = rng.integers(0, 256, (3000, 3)).astype(np.uint8)
+    with pytest.raises(ValueError):
+        approx_rle.approx_rle_wide(scan[None], np.array([3000]), 65,
+                                   interpret=True)
+    for allow in (65, 100, 200):
+        cc, ccol = native.approx_rle_encode(scan, float(allow))
+        kc, kcol = approx_rle.approx_rle_chunked(scan, allow, chunk=1024,
+                                                 interpret=True)
+        assert np.array_equal(cc, kc) and np.array_equal(ccol, kcol), allow

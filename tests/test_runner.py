@@ -121,6 +121,10 @@ def test_pipelined_batches_match_sequential(tmp_path, rng, monkeypatch):
         image_io.save_png(img, str(p))
         paths.append(str(p))
     codec = from_spec("hufman")
+    # hufman's pipeline_profitable is False: force the worker-thread
+    # pipeline on for the first run (ADVICE r3 — without this both runs
+    # took the sequential path and the test compared it against itself)
+    monkeypatch.setenv("CNIIC_PIPELINE", "1")
     r1 = runner.measure_all(codec, paths, output_dir=str(tmp_path / "a"),
                             verbose=False, batch=2)
     monkeypatch.setenv("CNIIC_PIPELINE", "0")
@@ -130,3 +134,47 @@ def test_pipelined_batches_match_sequential(tmp_path, rng, monkeypatch):
     rows_a = list(csv.reader(open(tmp_path / "a" / "Hufman.csv")))
     rows_b = list(csv.reader(open(tmp_path / "b" / "Hufman.csv")))
     assert rows_a == rows_b
+
+
+def test_pipelined_voronoi_matches_sequential_and_reuses_upload(
+        tmp_path, rng, monkeypatch):
+    """Voronoi under the pipeline: group N's decode_mse_batch must still
+    find group N's encode upload in the device-image cache even though
+    group N+1's encode already ran in the worker thread (ADVICE r3 — the
+    clear-at-encode-start cache was wiped by the next group exactly in the
+    default pipelined path), and rows must match the sequential run."""
+    from cniic_tpu import image_io, runner
+    from cniic_tpu.codecs import from_spec
+
+    paths = []
+    for i in range(6):  # 3 groups of 2
+        img = rng.integers(0, 256, (16, 20, 3)).astype(np.uint8)
+        p = tmp_path / f"v{i}.png"
+        image_io.save_png(img, str(p))
+        paths.append(str(p))
+
+    codec = from_spec("voronoi(4)")
+    hits = []
+
+    monkeypatch.setenv("CNIIC_PIPELINE", "1")
+    real = codec.decode_mse_batch
+
+    def spy(blobs, originals):
+        # this group's own cache key (same construction as decode_mse_batch;
+        # one shape bucket here) must be present when its decode runs, even
+        # though the worker thread already encoded the NEXT group
+        h, w = originals[0].shape[:2]
+        key = ((h, w), tuple(id(im) for im in originals))
+        hits.append(key in codec._dev_imgs)
+        return real(blobs, originals)
+
+    monkeypatch.setattr(codec, "decode_mse_batch", spy)
+    r1 = runner.measure_all(codec, paths, output_dir=str(tmp_path / "a"),
+                            verbose=False, batch=2)
+    monkeypatch.setattr(codec, "decode_mse_batch", real)
+    monkeypatch.setenv("CNIIC_PIPELINE", "0")
+    r2 = runner.measure_all(codec, paths, output_dir=str(tmp_path / "b"),
+                            verbose=False, batch=2)
+    assert r1.rows == r2.rows and not r1.failures and not r2.failures
+    # every pipelined decode group found (and reused) its own encode upload
+    assert hits and all(hits), hits
