@@ -41,16 +41,16 @@ class Delta(Codec):
         w, h = r.dims()
         n = w * h
         payloads, ids = huffman.decode_stream(r.rest(), LEAF_SIZE, n)
-        diffs = wire.wire_to_i16_triplets(np.asarray(payloads).reshape(-1), payloads.shape[0])
-        # cumsum per contiguous channel column (a direct axis-0 cumsum on an
-        # (N, 3) array is ~70x slower in numpy)
-        picked = diffs[ids].astype(np.int32)
-        scan = np.empty_like(picked)
-        for ch in range(3):
-            np.cumsum(np.ascontiguousarray(picked[:, ch]), out=scan[:, ch])
-        if scan.size and (scan.min() < 0 or scan.max() > 255):
-            raise wire.WireError("delta decode out of u8 range")
-        return hilbert.scatter(scan.astype(np.uint8), w, h)
+        # fused C pass (VERDICT r3 #3a): leaf gather + 3-channel running
+        # sum + u8 range check + inverse-curve scatter in one sweep —
+        # replaces the numpy gather/per-channel-cumsum/min-max/scatter
+        # chain that floored decode at 28.6 MP/s
+        try:
+            img = native.delta_unpack(np.asarray(payloads), ids,
+                                      hilbert.scan_indices(w, h))
+        except ValueError as e:
+            raise wire.WireError(str(e))
+        return img.reshape(h, w, 3)
 
     def encode_batch(self, imgs) -> list[bytes]:
         """Batched device pipeline: Hilbert gather + diff on host (cheap),

@@ -36,14 +36,6 @@ def _records_to_bytes(counts: np.ndarray, colors: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def _bytes_to_records(raw: np.ndarray):
-    if raw.size % 12:
-        raise wire.WireError("RLE stream is not a whole number of records")
-    recs = raw.reshape(-1, 12)
-    prefix = np.frombuffer(wire.pack_u64(3), dtype=np.uint8)
-    if not np.array_equal(recs[:, 1:9], np.broadcast_to(prefix, (recs.shape[0], 8))):
-        raise wire.WireError("corrupt Rgb prefix in RLE record")
-    return recs[:, 0], recs[:, 9:]
 
 
 class Hilbert(Codec):
@@ -86,11 +78,16 @@ class Hilbert(Codec):
             framed = np.frombuffer(native.zip_dict_decode(r.rest()), dtype=np.uint8)
             scan = wire.wire_to_rgb_stream(framed, count=n)
         else:
-            counts, colors = _bytes_to_records(np.frombuffer(bytes(r.rest()), dtype=np.uint8))
-            scan = np.repeat(colors, counts, axis=0)
-            if scan.shape[0] < n:
-                raise wire.WireError("RLE stream too short")
-            scan = scan[:n]
+            # fused C pass (VERDICT r3 #3b): record validation + run
+            # expansion + inverse-curve scatter in one sweep (replaces
+            # np.repeat + separate scatter, the 38 MP/s decode floor)
+            try:
+                img = native.rle_unframe_scatter(
+                    np.frombuffer(bytes(r.rest()), dtype=np.uint8),
+                    hilbert.scan_indices(w, h))
+            except ValueError as e:
+                raise wire.WireError(str(e))
+            return img.reshape(h, w, 3)
         return hilbert.scatter(scan, w, h)
 
     def encode_batch(self, imgs) -> list[bytes]:

@@ -108,6 +108,10 @@ def _load() -> ctypes.CDLL:
         lib.hist_rgb.restype = i64
         lib.delta_keys.argtypes = [u8p, i64, u32p]
         lib.delta_keys.restype = None
+        lib.delta_unpack.argtypes = [u8p, i64, i32p, i64, i64p, u8p]
+        lib.delta_unpack.restype = ctypes.c_int
+        lib.rle_unframe_scatter.argtypes = [u8p, i64, i64p, i64, u8p]
+        lib.rle_unframe_scatter.restype = ctypes.c_int
 
         lib.cniic_buf_free.argtypes = [u8p]
         lib.cniic_buf_free.restype = None
@@ -199,6 +203,51 @@ def delta_keys(scan: np.ndarray) -> np.ndarray:
     out = np.empty(scan.shape[0], dtype=np.uint32)
     lib.delta_keys(_as_u8p(scan), scan.shape[0],
                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
+
+
+def delta_unpack(payloads: np.ndarray, ids: np.ndarray,
+                 perm: np.ndarray) -> np.ndarray:
+    """Fused delta decode: 6-byte i16-LE leaves + symbol ids -> running
+    3-channel sums scattered through perm into a (len(perm), 3) uint8
+    image (range-checked). One C pass; replaces gather+cumsum+check+
+    scatter (VERDICT r3 #3a)."""
+    lib = _load()
+    payloads = np.ascontiguousarray(payloads, dtype=np.uint8).reshape(-1, 6)
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    if ids.size != perm.size:
+        raise ValueError("ids/perm length mismatch")
+    out = np.empty((perm.size, 3), dtype=np.uint8)
+    rc = lib.delta_unpack(_as_u8p(payloads), payloads.shape[0],
+                          _as_i32p(ids), ids.size,
+                          perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                          _as_u8p(out))
+    if rc == -1:
+        raise ValueError("delta symbol id out of range")
+    if rc == -2:
+        raise ValueError("delta decode out of u8 range")
+    return out
+
+
+def rle_unframe_scatter(recs: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """Fused RLE decode: validate 12-byte records, expand runs and scatter
+    through perm into a (len(perm), 3) uint8 image in one C pass
+    (VERDICT r3 #3b). Raises on corrupt prefixes or short streams."""
+    lib = _load()
+    recs = np.ascontiguousarray(recs, dtype=np.uint8)
+    if recs.size % 12:
+        raise ValueError("RLE stream is not a whole number of records")
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    out = np.empty((perm.size, 3), dtype=np.uint8)
+    rc = lib.rle_unframe_scatter(
+        _as_u8p(recs), recs.size // 12,
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), perm.size,
+        _as_u8p(out))
+    if rc == -1:
+        raise ValueError("corrupt Rgb prefix in RLE record")
+    if rc == -2:
+        raise ValueError("RLE stream too short")
     return out
 
 

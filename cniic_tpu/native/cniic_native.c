@@ -1134,6 +1134,71 @@ EXPORT void rgb_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
     }
 }
 
+/* Fused delta decode (VERDICT r3 #3a): Huffman ids -> leaf-diff gather ->
+ * 3-channel running sum -> u8 range check -> inverse-curve scatter, one
+ * pass (reference decode semantics: hilbertc.rs:482-509 walk + the
+ * ser.rs:188-195 3 x i16 LE leaf layout). Replaces the numpy chain
+ * (diffs[ids] gather, per-channel cumsum, min/max scan, separate C
+ * scatter) that was the decode floor at 28.6 MP/s.
+ *
+ * payloads: m 6-byte leaves (i16 LE per channel, biased diffs already
+ * removed by the encoder: values are the signed deltas). ids: n symbol
+ * indices. perm: scan->row-major flat positions (scan_indices). out:
+ * 3*n bytes, fully written on success.
+ * Returns 0; -1 on an id out of range; -2 when a running sum leaves
+ * [0, 255] (corrupt stream). */
+EXPORT int delta_unpack(const uint8_t *payloads, int64_t m,
+                        const int32_t *ids, int64_t n,
+                        const int64_t *perm, uint8_t *out) {
+    int32_t r = 0, g = 0, b = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t s = ids[i];
+        if (s < 0 || (int64_t)s >= m) return -1;
+        const uint8_t *p = payloads + 6 * (int64_t)s;
+        r += (int16_t)((uint16_t)p[0] | ((uint16_t)p[1] << 8));
+        g += (int16_t)((uint16_t)p[2] | ((uint16_t)p[3] << 8));
+        b += (int16_t)((uint16_t)p[4] | ((uint16_t)p[5] << 8));
+        if ((uint32_t)r > 255u || (uint32_t)g > 255u || (uint32_t)b > 255u)
+            return -2;
+        uint8_t *d = out + 3 * perm[i];
+        d[0] = (uint8_t)r;
+        d[1] = (uint8_t)g;
+        d[2] = (uint8_t)b;
+    }
+    return 0;
+}
+
+/* Fused RLE decode (VERDICT r3 #3b): validate the 12-byte records, expand
+ * each run and scatter it through the inverse curve in one pass
+ * (hilbertc.rs:59-113 decode + ser.rs:210-222 record layout). Replaces
+ * np.repeat + separate scatter (38 MP/s floor). Extra records beyond n
+ * pixels are still fully validated (the numpy path checked every prefix),
+ * their pixels dropped — the reference's scan[:n] truncation.
+ * Returns 0; -1 on a corrupt Rgb prefix; -2 when the records cover fewer
+ * than n pixels. */
+EXPORT int rle_unframe_scatter(const uint8_t *recs, int64_t nrec,
+                               const int64_t *perm, int64_t n,
+                               uint8_t *out) {
+    static const uint8_t prefix[8] = {3, 0, 0, 0, 0, 0, 0, 0};
+    int64_t pos = 0;
+    for (int64_t i = 0; i < nrec; i++) {
+        const uint8_t *rec = recs + 12 * i;
+        if (memcmp(rec + 1, prefix, 8) != 0) return -1;
+        int64_t c = rec[0];
+        uint8_t r = rec[9], g = rec[10], b = rec[11];
+        if (c > n - pos) c = n - pos; /* reference truncates at n */
+        for (int64_t k = 0; k < c; k++) {
+            uint8_t *d = out + 3 * perm[pos + k];
+            d[0] = r;
+            d[1] = g;
+            d[2] = b;
+        }
+        pos += c;
+    }
+    if (pos < n) return -2;
+    return 0;
+}
+
 /* inverse; returns 0, or -1 if any length prefix is corrupt */
 EXPORT int rgb_unframe(const uint8_t *framed, int64_t n, uint8_t *rgb) {
     static const uint8_t prefix[8] = {3, 0, 0, 0, 0, 0, 0, 0};

@@ -353,3 +353,44 @@ def test_runner_fused_path_isolates_failed_lanes(tmp_path, rng):
     assert len(res.failures) == 1 and "im1" in res.failures[0][0]
     assert os.path.exists(tmp_path / "out" / "im0.png")
     assert os.path.exists(tmp_path / "out" / "im2.png")
+
+
+def test_fused_rle_decode_error_paths(rng):
+    """The fused C RLE decode (VERDICT r3 #3b) must reject corrupt
+    prefixes, partial records and short streams as WireError."""
+    from cniic_tpu import wire
+    from cniic_tpu.codecs import from_spec
+
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    codec = from_spec("hilbert(rle)")
+    blob = bytearray(codec.encode(img))
+    with pytest.raises(wire.WireError):
+        codec.decode(bytes(blob[:-5]))  # partial record
+    bad = bytearray(blob)
+    bad[8 + 3] ^= 0xFF  # corrupt a record's Rgb length prefix
+    with pytest.raises(wire.WireError):
+        codec.decode(bytes(bad))
+    with pytest.raises(wire.WireError):
+        codec.decode(bytes(blob[:8] + blob[8:8 + 12]))  # too few pixels
+
+
+def test_fused_delta_decode_range_check(rng):
+    """The fused C delta decode (VERDICT r3 #3a) must reject streams whose
+    running sums leave [0, 255]."""
+    from cniic_tpu import hilbert, native, wire
+    from cniic_tpu.codecs import from_spec
+
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    codec = from_spec("delta")
+    assert np.array_equal(codec.decode(codec.encode(img)), img)
+
+    # hand-built: one leaf with diff -1 -> first pixel underflows
+    leaf = np.frombuffer(np.array([-1, 0, 0], np.int16).tobytes(),
+                         np.uint8).reshape(1, 6)
+    with pytest.raises(ValueError):
+        native.delta_unpack(leaf, np.zeros(4, np.int32),
+                            np.arange(4, dtype=np.int64))
+    # id out of range
+    with pytest.raises(ValueError):
+        native.delta_unpack(leaf, np.array([1], np.int32),
+                            np.zeros(1, np.int64))
