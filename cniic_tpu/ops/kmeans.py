@@ -58,20 +58,27 @@ class CrossLaneBoundError(ValueError):
     downgrading caller bugs like mixed-dimensionality batches)."""
 
 
-def _assign_stats_xla(pts_f, pts_i, w, valid, cur, cents_f, k: int, bs: int, vp: int, wp: int, pk: int):
+def _assign_stats_xla(pts_f, pts_i, w, valid, cur, cents_f, k: int, bs: int,
+                      vp: int, wp: int, pk: int, pw: int = 8,
+                      split: int = 32, wide: bool = False):
     """Assignment + centroid statistics for one step (the shardable core).
     Shapes: pts [n_pad, d] (f32 / int32), w int32[n_pad] (0 for padding),
     valid bool[n_pad], cur int32[n_pad], cents_f f32[k, d].
     Returns (new int32[n_pad], sums int32[k, vp*d+wp], moved int32).
 
     Everything rides the MXU: the assignment is a distance matmul + argmin,
-    and the centroid statistics are one-hot matmuls over 8-bit digit planes
-    of the weighted values — per-block f32 sums stay exact (<= 255*block),
-    cross-block accumulation is int32. The int32 sums are order-independent,
-    so point-sharded partial sums psum'd over a mesh (parallel/mesh.py) are
-    bit-identical to the single-device result. No scatters, no 64-bit ops
-    (both are slow to compile and have crashed the worker on this stack at
-    megapixel sizes).
+    and the centroid statistics are one-hot matmuls over pw-bit digit planes
+    of the weighted values — per-block f32 sums stay exact
+    ((2^pw-1)*block <= 255*65536 < 2^24), cross-block accumulation is int32.
+    The int32 sums are order-independent, so point-sharded partial sums
+    psum'd over a mesh (parallel/mesh.py) are bit-identical to the
+    single-device result. No scatters, no 64-bit ops (both are slow to
+    compile and have crashed the worker on this stack at megapixel sizes).
+
+    pw is the digit-plane width (8, or 4 for lanes with >= 2^23 points so
+    a plane-sum column (2^pw-1)*n plus its carry stays inside int32 —
+    VERDICT r3 #2 lifted the old hard 4M-point cap). split/wide extend the
+    exact-distance argument to large coordinates; see the d2 comment.
     """
     n_pad, d = pts_f.shape
     nb = n_pad // bs
@@ -80,44 +87,72 @@ def _assign_stats_xla(pts_f, pts_i, w, valid, cur, cents_f, k: int, bs: int, vp:
     # digit planes of the weighted values + the weights themselves; the
     # static plane counts (vp, wp) come from the caller's value bounds so
     # the stats matmul carries no all-zero columns
+    M = (1 << pw) - 1
     prod = pts_i * w[:, None]  # int32, bounded by the caller
-    cols = [(prod >> (8 * i)) & 0xFF for i in reversed(range(vp))]
-    wcols = [((w >> (8 * i)) & 0xFF)[:, None] for i in reversed(range(wp))]
+    cols = [(prod >> (pw * i)) & M for i in reversed(range(vp))]
+    wcols = [((w >> (pw * i)) & M)[:, None] for i in reversed(range(wp))]
     feats = jnp.concatenate(cols + wcols, axis=1).astype(jnp.bfloat16)  # (n, vp*d+wp)
 
-    # EXACT f32 squared distances with the cross term on the MXU. TPU f32
+    # EXACT squared distances with the cross term on the MXU. TPU f32
     # matmuls are bf16x3 emulations that drop the lo*lo term (the resulting
     # noisy distances made boundary points limit-cycle), so p.c is computed
-    # from an exact base-32 hi/lo split instead: per-dim values < 2048 give
-    # hi < 64 and lo < 32, both exactly bf16-representable, every MXU
-    # partial product is exact, and the f32 accumulations stay below 2^24
-    # (the 1024-scaled hi.hi term is a multiple of 2^10, exact while
-    # hi.hi < 2^24). d2 is assembled as (|p|^2 - p.c) + (|c|^2 - p.c) so
-    # every intermediate is an integer within the d2 bound (<= 8.6M for
-    # 2 coords + 3 colors) — decisions match f64 exactly, same contract as
-    # the earlier fused diff-form, but the VPU only touches (bs, k) tiles
-    # once (measured ~3.5x faster assignment on v5e at 590k x 128 x 5).
-    c_hi = jnp.floor(cents_f / 32.0)
-    c_lo = cents_f - c_hi * 32.0
-    csq = jnp.sum(cents_f * cents_f, axis=1)  # (k,)
+    # from an exact hi/lo split instead: with split=32, per-dim values
+    # <= 8191 give hi <= 255 and lo < 32, both exactly bf16-representable
+    # (bf16 holds all integers <= 256); split=64 extends that to values
+    # <= 16383 (hi <= 255, lo < 64). Every MXU partial product is exact and
+    # each of the three f32 accumulations stays below 2^24.
+    #
+    # Narrow path (wide=False, d2_bound < 2^24): d2 is assembled in f32 as
+    # (|p|^2 - p.c) + (|c|^2 - p.c) so every intermediate is an integer
+    # within the d2 bound — decisions match f64 exactly, and the VPU only
+    # touches (bs, k) tiles once (measured ~3.5x faster assignment on v5e
+    # at 590k x 128 x 5).
+    #
+    # Wide path (wide=True, d2_bound >= 2^24, e.g. 4K images — VERDICT r3
+    # #2): the dot products themselves exceed the f32 integer-exact range,
+    # so each sub-2^24 matmul piece is converted to int32 and d2, |p|^2,
+    # |c|^2 and the current-distance term are all assembled in int32
+    # (bounds: pc <= d2_bound <= 2*16383^2 + 3*255^2 < 2^30, so
+    # psq + csq - 2*pc never wraps). Same decisions as f64, at the cost of
+    # int32 VPU assembly per tile.
+    S = float(split)
+    c_hi = jnp.floor(cents_f / S)
+    c_lo = cents_f - c_hi * S
     c_mix = jnp.concatenate([c_lo, c_hi], axis=1)  # (k, 2d)
     bf = jnp.bfloat16
+    if wide:
+        ci = cents_f.astype(jnp.int32)
+        csq_i = jnp.sum(ci * ci, axis=1)  # (k,) int32, exact
+    else:
+        csq = jnp.sum(cents_f * cents_f, axis=1)  # (k,)
 
     def block(args):
-        p, c, f = args
-        p_hi = jnp.floor(p / 32.0)
-        p_lo = p - p_hi * 32.0
-        psq = jnp.sum(p * p, axis=1)  # (bs,)
+        if wide:
+            p, c, f, pib = args
+        else:
+            p, c, f = args
+        p_hi = jnp.floor(p / S)
+        p_lo = p - p_hi * S
         m_hh = jnp.dot(p_hi.astype(bf), c_hi.astype(bf).T,
                        preferred_element_type=jnp.float32)
         m_mix = jnp.dot(jnp.concatenate([p_hi, p_lo], axis=1).astype(bf),
                         c_mix.astype(bf).T, preferred_element_type=jnp.float32)
         m_ll = jnp.dot(p_lo.astype(bf), c_lo.astype(bf).T,
                        preferred_element_type=jnp.float32)
-        pc = 1024.0 * m_hh + 32.0 * m_mix + m_ll  # (bs, k) exact integers
-        d2 = (psq[:, None] - pc) + (csq[None, :] - pc)
-        cur_c = cents_f[c]
-        cur_d2 = jnp.sum((p - cur_c) * (p - cur_c), axis=-1)
+        if wide:
+            pc_i = (jnp.int32(split * split) * m_hh.astype(jnp.int32)
+                    + jnp.int32(split) * m_mix.astype(jnp.int32)
+                    + m_ll.astype(jnp.int32))  # (bs, k) exact int32
+            psq_i = jnp.sum(pib * pib, axis=1)  # (bs,) int32, exact
+            d2 = (psq_i[:, None] - pc_i) + (csq_i[None, :] - pc_i)
+            dd = pib - ci[c]
+            cur_d2 = jnp.sum(dd * dd, axis=-1)  # int32, exact
+        else:
+            pc = S * S * m_hh + S * m_mix + m_ll  # (bs, k) exact integers
+            psq = jnp.sum(p * p, axis=1)  # (bs,)
+            d2 = (psq[:, None] - pc) + (csq[None, :] - pc)
+            cur_c = cents_f[c]
+            cur_d2 = jnp.sum((p - cur_c) * (p - cur_c), axis=-1)
         if pk:
             # single packed min-reduce = argmin + min in one pass. pk is the
             # next power of two >= k and the host guarantees
@@ -133,56 +168,64 @@ def _assign_stats_xla(pts_f, pts_i, w, valid, cur, cents_f, k: int, bs: int, vp:
             best_d2 = jnp.min(d2, axis=1)
             new_b = jnp.where(best_d2 < cur_d2, best, c)
         onehot = (new_b[:, None] == kids[None, :]).astype(jnp.bfloat16)  # (bs, k)
-        # exact: 0/1 x values<=255, block sums <= 255*bs < 2^24
+        # exact: 0/1 x values <= (2^pw - 1), block sums <= 255*bs < 2^24
         sums_b = jnp.dot(onehot.T, f, preferred_element_type=jnp.float32)
         return new_b, sums_b.astype(jnp.int32)
 
-    new, sums_blocks = jax.lax.map(
-        block,
-        (pts_f.reshape(nb, bs, d), cur.reshape(nb, bs),
-         feats.reshape(nb, bs, vp * d + wp)),
-    )
+    operands = (pts_f.reshape(nb, bs, d), cur.reshape(nb, bs),
+                feats.reshape(nb, bs, vp * d + wp))
+    if wide:
+        operands = operands + (pts_i.reshape(nb, bs, d),)
+    new, sums_blocks = jax.lax.map(block, operands)
     new = jnp.where(valid, new.reshape(-1), 0)
     moved = jnp.sum((new != cur).astype(jnp.int32), dtype=jnp.int32)
     sums = jnp.sum(sums_blocks, axis=0, dtype=jnp.int32)  # (k, vp*d+wp)
     return new, sums, moved
 
 
-def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int, vp: int, wp: int, pk: int):
+def _iteration(pts_f, pts_i, w, valid, cur, cents_f, k: int, it, n, bs: int,
+               vp: int, wp: int, pk: int, pw: int = 8, split: int = 32,
+               wide: bool = False):
     """One full assign+update step: the shardable core + integer means."""
     new, sums, moved = _assign_stats_xla(
-        pts_f, pts_i, w, valid, cur, cents_f, k, bs, vp, wp, pk)
-    cents_i, empty = _means_from_sums(sums, pts_i, k, it, n, vp, wp)
+        pts_f, pts_i, w, valid, cur, cents_f, k, bs, vp, wp, pk, pw, split,
+        wide)
+    cents_i, empty = _means_from_sums(sums, pts_i, k, it, n, vp, wp, pw)
     return new, cents_i, empty, moved
 
 
-def _means_div(sums, d: int, k: int, vp: int, wp: int):
+def _means_div(sums, d: int, k: int, vp: int, wp: int, pw: int = 8):
     """Integer-truncated means from the digit-plane statistics.
     sums int32[k, vp*d+wp]. Returns (cents int32[k, d], wsum int32[k])."""
+    base = 1 << pw
+    Mk = base - 1
     wsum = jnp.zeros((k,), jnp.int32)
     for i in range(wp):
-        wsum = wsum * 256 + sums[:, vp * d + i]
+        wsum = wsum * base + sums[:, vp * d + i]
     denom = jnp.maximum(wsum, 1)[:, None]
-    # The value-plane columns are *plane sums* (each <= 255*n), not digits.
-    # Normalize them into true base-256 digits by carry propagation, then
-    # long-divide in base 16 so every intermediate fits int32: the running
-    # remainder stays < denom <= total weight and the host guards
-    # total weight < 2^27, so rem*16 + nibble < 2^31. (The previous base-256
-    # division overflowed once a cluster's weight crossed ~2^23 and silently
-    # corrupted the palette — ADVICE.md round 1.)
+    # The value-plane columns are *plane sums* (each <= (2^pw - 1)*n), not
+    # digits. Normalize them into true base-2^pw digits by carry
+    # propagation, then long-divide in base 16 so every intermediate fits
+    # int32: the running remainder stays < denom <= total weight and the
+    # host guards total weight < 2^27, so rem*16 + nibble < 2^31. (The
+    # previous base-256 division overflowed once a cluster's weight crossed
+    # ~2^23 and silently corrupted the palette — ADVICE.md round 1.)
     digits = []  # least-significant first
     carry = jnp.zeros((k, d), jnp.int32)
     for i in reversed(range(vp)):
         v = sums[:, i * d : (i + 1) * d] + carry
-        digits.append(v & 0xFF)
-        carry = v >> 8
-    for _ in range(4):  # residual carry < 255*n/255 <= n <= 4M: 3 bytes + slack
-        digits.append(carry & 0xFF)
-        carry = carry >> 8
+        digits.append(v & Mk)
+        carry = v >> pw
+    # residual carry < n (pw=8, n < 2^23: 3 bytes + slack; pw=4, n < 2^27:
+    # 7 nibbles + slack)
+    for _ in range(4 if pw == 8 else 8):
+        digits.append(carry & Mk)
+        carry = carry >> pw
     rem = jnp.zeros((k, d), jnp.int32)
     out = jnp.zeros((k, d), jnp.int32)
+    shifts = (4, 0) if pw == 8 else (0,)
     for dig in reversed(digits):
-        for shift in (4, 0):
+        for shift in shifts:
             cur_v = rem * 16 + ((dig >> shift) & 0xF)
             q = cur_v // denom
             rem = cur_v - q * denom
@@ -199,12 +242,13 @@ def _steal_indices(k: int, it, n):
     return (mix & jnp.int32(0x7FFFFFFF)) % jnp.maximum(n, 1)
 
 
-def _means_from_sums(sums, pts_i, k: int, it, n, vp: int, wp: int):
+def _means_from_sums(sums, pts_i, k: int, it, n, vp: int, wp: int,
+                     pw: int = 8):
     """Integer-truncated means + on-device empty-cluster repair.
     sums int32[k, vp*d+wp]; pts_i int32[n_pad, d] is the steal source.
     Returns (cents int32[k, d], empty bool[k])."""
     d = pts_i.shape[1]
-    cents_i, wsum = _means_div(sums, d, k, vp, wp)
+    cents_i, wsum = _means_div(sums, d, k, vp, wp, pw)
     empty = wsum == 0
     steal = _steal_indices(k, it, n)
     cents_i = jnp.where(empty[:, None], pts_i[steal], cents_i)
@@ -264,11 +308,14 @@ def _plateau_update(act, new_moved, best, stall):
     return best, stall
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp", "wp", "pk", "stall_lim"))
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "bs", "vp",
+                                             "wp", "pk", "pw", "split",
+                                             "wide", "stall_lim"))
 def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, thresh, moved0,
                  best0, stall0, it0,
                  k: int, max_iters: int, bs: int = _BLOCK, vp: int = 4,
-                 wp: int = 4, pk: int = 0, stall_lim: int = _STALL_LIMIT):
+                 wp: int = 4, pk: int = 0, pw: int = 8, split: int = 32,
+                 wide: bool = False, stall_lim: int = _STALL_LIMIT):
     """One device burst over a batch of lanes (leading axis B everywhere).
 
     Iterates until every lane is frozen (move count at or below its
@@ -279,7 +326,8 @@ def _kmeans_loop(pts_f, pts_i, w, valid, cur, cents_i, n, thresh, moved0,
     """
 
     def one_lane(pf, pi, wi, va, cu, ce, it, ni):
-        return _iteration(pf, pi, wi, va, cu, ce, k, it, ni, bs, vp, wp, pk)
+        return _iteration(pf, pi, wi, va, cu, ce, k, it, ni, bs, vp, wp, pk,
+                          pw, split, wide)
 
     def active(moved, stall):
         return jnp.logical_and(moved > thresh, stall < stall_lim)
@@ -342,7 +390,8 @@ def _voronoi_finish_u16(cur, valid, cents, k: int):
          cents.reshape(B, k * cents.shape[2]).astype(jnp.uint16)], axis=1)
 
 
-def plan_params(max_val: int, max_w: int, d2_bound: int, k: int):
+def plan_params(max_val: int, max_w: int, d2_bound: int, k: int,
+                n_max: int = 0):
     """Static iteration parameters from the value bounds (shared by the
     single-chip prep and the sharded step so the two can't drift):
 
@@ -352,15 +401,26 @@ def plan_params(max_val: int, max_w: int, d2_bound: int, k: int):
     * pk — packed argmin+min single-reduce factor: exact only while
       d2*pk + idx fits int32 (d2 is bounded by the per-dim maxima;
       centroids are truncated means or stolen points, so they stay within
-      the same per-dim ranges); 0 disables packing.
+      the same per-dim ranges); 0 disables packing;
+    * pw — digit-plane width: 8 while a plane-sum column plus its carry
+      fits int32 ((2^pw)*n < 2^31, i.e. n < 2^23), else 4 (n < 2^27 — the
+      total-weight cap binds first). VERDICT r3 #2: this is what lifted
+      the old hard 4M-point cap;
+    * split — hi/lo base of the exact bf16 distance split: 32 keeps
+      hi <= 255 (bf16-exact) up to values of 8191, 64 up to 16383;
+    * wide — d2 int32-assembly flag: required once d2_bound reaches 2^24
+      (dot products leave the f32 integer-exact range — 4K+ images).
     """
     bs = 65536 if k <= 512 else _BLOCK
     bs = int(os.environ.get("CNIIC_KMEANS_BS", bs))
-    vp = max(1, ((max_val * max_w).bit_length() + 7) // 8)
-    wp = max(1, (max_w.bit_length() + 7) // 8)
+    pw = 8 if n_max < (1 << 23) else 4
+    vp = max(1, ((max_val * max_w).bit_length() + pw - 1) // pw)
+    wp = max(1, (max_w.bit_length() + pw - 1) // pw)
     pkc = 1 << max(k - 1, 0).bit_length()
     pk = pkc if (d2_bound + 1) * pkc < 2**31 else 0
-    return bs, vp, wp, pk
+    split = 32 if max_val <= 8191 else 64
+    wide = d2_bound >= (1 << 24)
+    return bs, vp, wp, pk, pw, split, wide
 
 
 def _stop_threshold(n: int) -> int:
@@ -395,7 +455,8 @@ def _pallas_block(n_pad: int, k: int, batch: int, d2b: int) -> int:
 
 
 def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
-           vp: int, wp: int, pk: int, d2b: int, max_iters: int):
+           vp: int, wp: int, pk: int, pw: int, split: int, wide: bool,
+           d2b: int, max_iters: int):
     """Host burst driver around the device iteration loop.
 
     The convergence loop runs on device in bounded bursts: a single XLA
@@ -428,7 +489,10 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
     ndev = 1 if mesh is None else int(mesh.devices.size)
     # per-device lane count bounds the kernel's VMEM working set under the
     # mesh (each device unrolls only its local lanes)
-    bs_p = _pallas_block(pts_i.shape[1], k, B // ndev, d2b)
+    # the fused kernel's one-matmul cross term and 8-bit plane rows cover
+    # the narrow regime only; wide/4-bit-plane lanes take the XLA body
+    bs_p = 0 if (wide or pw != 8 or split != 32) else _pallas_block(
+        pts_i.shape[1], k, B // ndev, d2b)
     if mesh is not None:
         # multi-chip: lanes over devices (the reference's rayon-over-images,
         # bench.rs:22-27, as data parallelism). The XLA body is GSPMD-
@@ -476,7 +540,8 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
             return _kmeans_loop(
                 pts_f, pts_i, w, valid, cur, cents, n_dev, thresh_dev,
                 moved_seed, best_s, stall_s, jnp.int32(it), k, burst,
-                bs=bs, vp=vp, wp=wp, pk=pk, stall_lim=stall_lim)
+                bs=bs, vp=vp, wp=wp, pk=pk, pw=pw, split=split, wide=wide,
+                stall_lim=stall_lim)
 
     it = 0
     stall = np.zeros(B, np.int64)
@@ -516,14 +581,12 @@ def _prep_host_batch(points_list, k: int, weights_list):
         # mixed batch; kmeans_batch(on_error="collect") falls back to
         # per-lane runs when that happens
         raise CrossLaneBoundError("kmeans weighted values must fit int32")
-    if max_val > 2048:
-        log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
-                    "exactness and convergence may slow")
 
     d2_bound = max(
         int(np.sum(p.max(axis=0, initial=0).astype(np.int64) ** 2))
         for p in points_list)
-    bs, vp, wp, pk = plan_params(max_val, max_w, d2_bound, k)
+    bs, vp, wp, pk, pw, split, wide = plan_params(
+        max_val, max_w, d2_bound, k, int(ns.max()))
 
     n_pad = -(-int(ns.max()) // bs) * bs
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
@@ -550,7 +613,7 @@ def _prep_host_batch(points_list, k: int, weights_list):
         jnp.asarray(pts_up), jnp.asarray(w_up),
         jnp.asarray(ns.astype(np.int32)), k)
     return (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, ns,
-            bs, vp, wp, pk, d2_bound)
+            bs, vp, wp, pk, pw, split, wide, d2_bound)
 
 
 def _validate_lane(p: np.ndarray, wl, k: int) -> None:
@@ -560,8 +623,15 @@ def _validate_lane(p: np.ndarray, wl, k: int) -> None:
         raise ValueError(f"k-means needs at least k points ({n} < {k})")
     if n // k == 0:
         raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
-    if n > 4_000_000:
-        raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+    if n >= 2**27:
+        # 4-bit digit planes carry any point count the weight cap admits
+        # (VERDICT r3 #2 lifted the old 4M cap); the total-weight bound
+        # below is what actually binds
+        raise ValueError("kmeans point count must be < 2^27 (~134M)")
+    if int(p.max(initial=0)) > 16383:
+        # the base-64 hi/lo split keeps hi <= 255 (bf16-exact) only up to
+        # 16383 — covers 16k x 16k coordinate grids
+        raise ValueError("kmeans coordinate values must be <= 16383")
     max_w = 1 if wl is None else max(int(np.max(wl)), 1)
     if int(p.max(initial=0)) * max_w >= 2**31:
         raise ValueError("kmeans weighted values must fit int32")
@@ -623,8 +693,8 @@ def kmeans_batch(points_list, k: int, weights_list=None,
                     out[i] = r
             return out
     try:
-        (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
-            _prep_host_batch(points_list, k, weights_list)
+        (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, pw, split,
+         wide, d2b) = _prep_host_batch(points_list, k, weights_list)
     except CrossLaneBoundError:
         # cross-lane bound (global max_val*max_w) with individually valid
         # lanes: fall back to per-lane runs so the isolation contract holds
@@ -636,7 +706,8 @@ def kmeans_batch(points_list, k: int, weights_list=None,
                              on_error="collect")[0]
                 for p, wl in zip(points_list, weights_list)]
     it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
-                            ns, k, bs, vp, wp, pk, d2b, max_iters)
+                            ns, k, bs, vp, wp, pk, pw, split, wide, d2b,
+                            max_iters)
     d = cents.shape[2]
     max_val = max(int(np.asarray(p).max(initial=0)) for p in points_list)
     if k <= 65535 and max_val <= 65535:
@@ -743,28 +814,28 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
             raise ValueError(f"k-means needs at least k points ({n} < {k})")
         if n // k == 0:
             raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
-        if n > 4_000_000:
-            raise ValueError("kmeans int32 digit-plane means support <= 4M points")
+        if n >= 2**27:
+            raise ValueError("kmeans point count must be < 2^27 (~134M)")
+        if max(h, w) - 1 > 16383:
+            raise ValueError("kmeans coordinate values must be <= 16383")
     except ValueError as e:
         if on_error != "collect":
             raise
         # same shape => the whole bucket shares the failure
         return ([e] * B, None) if return_device_imgs else [e] * B
-    if max(h, w) - 1 > 2048:
-        log.warning("kmeans: coordinates exceed 2048; f32 distances lose "
-                    "exactness and convergence may slow")
 
     max_val = max(w - 1, h - 1, 255)
     d2_bound = (w - 1) ** 2 + (h - 1) ** 2 + 3 * 255 ** 2
-    bs, vp, wp, pk = plan_params(max_val, 1, d2_bound, k)
+    bs, vp, wp, pk, pw, split, wide = plan_params(max_val, 1, d2_bound, k, n)
 
     imgs_dev = jnp.asarray(imgs)
     pts_f, pts_i, w_dev, valid, cur, cents = _voronoi_setup(imgs_dev, k, bs)
     ns = np.full(B, n, np.int64)
     it, cur, cents = _drive(pts_f, pts_i, w_dev, valid, cur, cents,
-                            ns, k, bs, vp, wp, pk, d2_bound, max_iters)
+                            ns, k, bs, vp, wp, pk, pw, split, wide,
+                            d2_bound, max_iters)
     # active counts + centroids in one packed u16 fetch (two fewer tunnel
-    # round trips; coords <= 2047 and colors <= 255 both fit u16)
+    # round trips; coords <= 16383 and colors <= 255 both fit u16)
     packed = np.asarray(_voronoi_finish_u16(cur, valid, cents, k)).astype(np.int64)
     actives = packed[:, 0]
     cents_np = packed[:, 1:].reshape(B, k, 5)

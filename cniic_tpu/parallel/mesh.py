@@ -91,7 +91,8 @@ def shard_batch(mesh: Mesh, *arrays):
 # ---------------------------------------------------------------------------
 
 def _sharded_burst(mesh: Mesh, k: int, d: int, n_loc: int, bs: int, vp: int,
-                   wp: int, pk: int, burst: int, stall_lim: int):
+                   wp: int, pk: int, pw: int, split: int, wide: bool,
+                   burst: int, stall_lim: int):
     """shard_map'd burst of full k-means iterations; points sharded on the
     batch axis, centroids replicated, statistics psum'd over ICI. Carries
     the same per-iteration plateau net as the single-chip loops so results
@@ -112,10 +113,10 @@ def _sharded_burst(mesh: Mesh, k: int, d: int, n_loc: int, bs: int, vp: int,
             it, cur, cents_i, _, best, stall = state
             new, sums_loc, moved_loc = km._assign_stats_xla(
                 pts_f, pts_i, w, valid, cur, cents_i.astype(jnp.float32),
-                k, bs, vp, wp, pk)
+                k, bs, vp, wp, pk, pw, split, wide)
             sums = jax.lax.psum(sums_loc, "batch")
             moved = jax.lax.psum(moved_loc, "batch")
-            cents_div, wsum = km._means_div(sums, d, k, vp, wp)
+            cents_div, wsum = km._means_div(sums, d, k, vp, wp, pw)
             empty = wsum == 0
             # the steal index is global; each shard contributes its point
             # (or zeros) and the psum reassembles exactly pts[steal]
@@ -164,7 +165,10 @@ def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
     max_val = int(points.max(initial=0))
     max_w = 1 if weights is None else max(int(np.max(weights)), 1)
     d2_bound = int(np.sum(points.max(axis=0, initial=0).astype(np.int64) ** 2))
-    _, vp, wp, pk = km.plan_params(max_val, max_w, d2_bound, k)
+    # pw must come from the GLOBAL point count: plane-sum partials are
+    # psum'd across shards into the same int32 budget
+    _, vp, wp, pk, pw, split, wide = km.plan_params(
+        max_val, max_w, d2_bound, k, n)
 
     n_loc = -(-n // (ndev * block)) * block
     n_pad = ndev * n_loc
@@ -190,8 +194,8 @@ def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
     strict = os.environ.get("CNIIC_KMEANS_STRICT", "") == "1"
     stall_lim = (1 << 30) if strict else km._STALL_LIMIT
     burst = max(4, min(64, (1 << 23) // max(n // 8, 1)))
-    step = _sharded_burst(mesh, k, d, n_loc, block, vp, wp, pk, burst,
-                          stall_lim)
+    step = _sharded_burst(mesh, k, d, n_loc, block, vp, wp, pk, pw, split,
+                          wide, burst, stall_lim)
 
     # upload ONCE, narrow (CLAUDE.md transfer rule), widen on device; the
     # burst loop then only moves the small carried state per iteration

@@ -224,3 +224,140 @@ def test_device_init_matches_reference_formula(rng, n, k):
     np.testing.assert_array_equal(np.asarray(valid)[0, n:], False)
     np.testing.assert_array_equal(np.asarray(cur)[0], exp_cur)
     np.testing.assert_array_equal(np.asarray(cents)[0], exp_cents)
+
+
+# ---------------------------------------------------------------------------
+# r4: lifted size caps (VERDICT r3 #2) — wide distances + adaptive planes
+# ---------------------------------------------------------------------------
+
+def test_wide_assignment_matches_f64_oracle():
+    """Coordinates past the f32 integer-exact range (d2_bound >= 2^24, the
+    4K-image regime) must still produce assignments identical to float64
+    arithmetic: the wide path assembles d2 in int32 from exact sub-2^24
+    matmul pieces."""
+    import jax.numpy as jnp
+    import cniic_tpu.ops.kmeans as km
+
+    rng = np.random.default_rng(5)
+    n, k = 2048, 16
+    pts = np.column_stack([
+        rng.integers(0, 4096, n),
+        rng.integers(0, 2160, n),
+        rng.integers(0, 256, n),
+        rng.integers(0, 256, n),
+        rng.integers(0, 256, n),
+    ]).astype(np.int64)
+    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, pw, split,
+     wide, d2b) = km._prep_host_batch([pts], k, None)
+    assert wide and d2b >= 1 << 24, "test must exercise the wide path"
+
+    new, _, _, _ = km._iteration(
+        pts_f[0], pts_i[0], w[0], valid[0], cur[0],
+        cents[0].astype(jnp.float32), k, jnp.int32(0), jnp.int32(n),
+        bs, vp, wp, pk, pw, split, wide)
+
+    p64 = pts.astype(np.float64)
+    c64 = np.asarray(cents[0], np.float64)
+    cur0 = np.asarray(cur[0][:n])
+    d2 = ((p64[:, None, :] - c64[None]) ** 2).sum(-1)
+    best = d2.argmin(1)
+    cur_d2 = ((p64 - c64[cur0]) ** 2).sum(-1)
+    expect = np.where(d2.min(1) < cur_d2, best, cur0)
+    np.testing.assert_array_equal(np.asarray(new)[:n], expect)
+
+
+def test_wide_e2e_centroids_exact():
+    """Full k-means at 4K-scale coordinates: well-separated clusters give
+    exactly their integer-truncated means."""
+    far = [(100, 100), (4000, 4000), (100, 4000), (4000, 100)]
+    pts = np.array(sum((_square_centered_at(p) for p in far), []), np.int64)
+    cents, assign, _ = kmeans.kmeans(pts, 4)
+    got = {tuple(c) for c in cents.tolist()}
+    assert got == set(far)  # integer mean of each 3x3 square is its center
+    # all 9 members of a square share one cluster
+    for s in range(4):
+        assert len(set(assign[s * 9:(s + 1) * 9].tolist())) == 1
+
+
+def test_4bit_planes_match_8bit(monkeypatch):
+    """Forcing the >=2^23-point plan (4-bit digit planes) on a small run
+    must be bit-identical to the default 8-bit-plane plan."""
+    import cniic_tpu.ops.kmeans as km
+
+    rng = np.random.default_rng(13)
+    pts = rng.integers(0, 256, (800, 3)).astype(np.int64)
+    w = rng.integers(1, 300, 800).astype(np.int64)
+    c1, a1, i1 = km.kmeans(pts, 8, weights=w)
+
+    orig = km.plan_params
+    def force_nibbles(max_val, max_w, d2_bound, k, n_max=0):
+        return orig(max_val, max_w, d2_bound, k, n_max=1 << 23)
+    monkeypatch.setattr(km, "plan_params", force_nibbles)
+    c2, a2, i2 = km.kmeans(pts, 8, weights=w)
+    assert i1 == i2
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_base64_split_matches_base32(monkeypatch):
+    """Forcing the >8191-coordinate plan (base-64 hi/lo split + wide int32
+    assembly) on small-coordinate data must be bit-identical: both paths
+    claim exactness, so they must agree wherever both apply."""
+    import cniic_tpu.ops.kmeans as km
+
+    rng = np.random.default_rng(17)
+    pts = np.column_stack([
+        rng.integers(0, 2048, 3000),
+        rng.integers(0, 1400, 3000),
+        rng.integers(0, 256, 3000),
+    ]).astype(np.int64)
+    c1, a1, i1 = km.kmeans(pts, 12)
+
+    orig = km.plan_params
+    def force_wide(max_val, max_w, d2_bound, k, n_max=0):
+        bs, vp, wp, pk, pw, split, wide = orig(
+            max_val, max_w, d2_bound, k, n_max)
+        return bs, vp, wp, pk, pw, 64, True
+    monkeypatch.setattr(km, "plan_params", force_wide)
+    c2, a2, i2 = km.kmeans(pts, 12)
+    assert i1 == i2
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_size_caps():
+    """The honest remaining caps: coordinates <= 16383, total weight (and
+    point count) < 2^27. A 4K image's 8.3M points now validate."""
+    import cniic_tpu.ops.kmeans as km
+
+    km._validate_lane(np.zeros((10, 2), np.int64) + 16383, None, 2)
+    with pytest.raises(ValueError, match="16383"):
+        km._validate_lane(np.zeros((10, 2), np.int64) + 16384, None, 2)
+    # 4K-image point count passes validation (the old cap was 4M)
+    p = np.broadcast_to(np.int16(1), (3840 * 2160, 1))
+    km._validate_lane(p, None, 2)
+    with pytest.raises(ValueError, match="2\\^27"):
+        km._validate_lane(np.broadcast_to(np.int16(1), (1 << 27, 1)), None, 2)
+
+
+def test_voronoi_wide_image_path():
+    """voronoi_centroids_batch on an image wider than the old 2048-coord
+    exact range: the wide plan engages and centroids stay in range."""
+    rng = np.random.default_rng(23)
+    h, w = 6, 4100
+    imgs = rng.integers(0, 256, (1, h, w, 3), np.uint8)
+    bs, vp, wp, pk, pw, split, wide = kmeans.plan_params(
+        max(w - 1, h - 1, 255), 1,
+        (w - 1) ** 2 + (h - 1) ** 2 + 3 * 255 ** 2, 4, h * w)
+    assert wide, "a 4100-wide image must take the wide path"
+    (cents,) = kmeans.voronoi_centroids_batch(imgs, 4)
+    assert cents.shape == (4, 5)
+    assert cents[:, 0].max() < w and cents[:, 1].max() < h
+    assert cents[:, 2:].max() <= 255
+
+    # bit-parity with the host-built point formulation on the same data
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    pts = np.column_stack([xs.ravel(), ys.ravel(),
+                           imgs[0].reshape(-1, 3)]).astype(np.int64)
+    c2, _, _ = kmeans.kmeans(pts, 4)
+    np.testing.assert_array_equal(cents, c2)

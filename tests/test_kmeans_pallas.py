@@ -32,8 +32,8 @@ def test_assign_stats_matches_iteration(k, d, weighted):
     rng = np.random.default_rng(3)
     B, n = 2, 300
     pts, ws = _mk_batch(rng, B, n, d, k, 256, weighted)
-    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, d2b) = \
-        km._prep_host_batch(pts, k, ws if weighted else None)
+    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, pw, split,
+     wide, d2b) = km._prep_host_batch(pts, k, ws if weighted else None)
     assert pk, "packed argmin must be available at these bounds"
     bs_p = 128
     assert pts_i.shape[1] % bs_p == 0
