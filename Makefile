@@ -118,4 +118,19 @@ test:
 bench:
 	python bench.py
 
-.PHONY: all clean diagrams synth-corpus test bench
+# decode-path fuzzing against an address-sanitized build of the C engines
+# (VERDICT r3 #5): any C bounds miss aborts the run with an ASan report.
+# cluster/voronoi are excluded: their decode C surface (Huffman, bit
+# layer, unframe) is fully covered via the other families, and jaxlib's
+# nanobind C++ throws trip ASan's __cxa_throw interceptor the moment a
+# device computation runs under LD_PRELOAD.
+asan-fuzz:
+	cc -O1 -g -fPIC -shared -fsanitize=address -fno-omit-frame-pointer \
+	    -o /tmp/libcniic_asan.so cniic_tpu/native/cniic_native.c -lm
+	LD_PRELOAD=$$(cc -print-file-name=libasan.so) \
+	    ASAN_OPTIONS=detect_leaks=0 \
+	    CNIIC_NATIVE_LIB=/tmp/libcniic_asan.so \
+	    python -m pytest tests/test_fuzz_decode.py -q \
+	    -k "not cluster and not voronoi"
+
+.PHONY: all clean diagrams synth-corpus test bench asan-fuzz

@@ -192,6 +192,13 @@ class VoronoiCluster(Codec):
         r = wire.ByteReader(data)
         w, h = r.dims()
         k = r.u64()
+        # each centroid costs exactly 19 wire bytes (u32 x, u32 y, 11-byte
+        # Rgb): an untrusted k beyond what the stream can hold must die
+        # before the (k, 2) allocation (fuzz harness: a corrupt count asked
+        # for 4 EiB)
+        if k > r.remaining() // 19:
+            raise wire.WireError(
+                f"voronoi centroid count {k} exceeds stream capacity")
         xy = np.empty((k, 2), dtype=np.uint32)
         colors = np.empty((k, 3), dtype=np.uint8)
         for i in range(k):

@@ -238,5 +238,13 @@ def decode_stream(data, leaf_size: int, n_symbols: int):
     decoded leaf-ids int32[n_symbols])."""
     left, right, symbol, payloads, consumed = parse_tree(data, leaf_size)
     body = np.frombuffer(bytes(data), dtype=np.uint8)[consumed:]
+    # every symbol costs >= 1 payload bit, so a symbol count beyond
+    # 8*len(body) can never be satisfied: reject before allocating. The
+    # one legal exception is the single-leaf tree (0-bit codes, empty
+    # body), which the body.size test exempts; its allocation is bounded
+    # by the dims plausibility cap (wire.ByteReader.dims).
+    if body.size and n_symbols > 8 * body.size:
+        raise ValueError(
+            f"Huffman stream too short for {n_symbols} symbols")
     ids = decode_payload(body, left, right, symbol, n_symbols)
     return payloads, ids

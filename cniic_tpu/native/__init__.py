@@ -18,7 +18,10 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "cniic_native.c")
-_LIB = os.path.join(_HERE, "libcniic_native.so")
+# CNIIC_NATIVE_LIB points at an alternate prebuilt library (the ASan fuzz
+# build, `make asan-fuzz`); the default is built on demand from _SRC.
+_LIB = os.environ.get("CNIIC_NATIVE_LIB",
+                      os.path.join(_HERE, "libcniic_native.so"))
 _lock = threading.Lock()
 _lib = None
 
@@ -50,8 +53,10 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            _build()
+        if not os.environ.get("CNIIC_NATIVE_LIB") and (
+                not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()  # an explicit override is loaded as-is, never rebuilt
         lib = ctypes.CDLL(_LIB)
 
         u8p = ctypes.POINTER(ctypes.c_uint8)

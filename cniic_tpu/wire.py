@@ -118,7 +118,19 @@ class ByteReader:
         return int.from_bytes(self.take(8), "little")
 
     def dims(self) -> tuple[int, int]:
-        return self.u32(), self.u32()
+        """Image dimensions with a plausibility bound: decoders size their
+        output buffers from these untrusted u32s, so absurd values must die
+        here as a WireError instead of as a multi-GiB allocation (found by
+        tests/test_fuzz_decode.py — a bit flip in the header asked
+        hufman decode for 255 GiB). 2^27 pixels matches the framework-wide
+        image cap (ops/kmeans.py validation)."""
+        w, h = self.u32(), self.u32()
+        if w == 0 or h == 0 or w * h > 1 << 27:
+            # no encoder produces empty images (PNG loads are >= 1x1), and
+            # downstream machinery (curve generation, point builders)
+            # treats a zero dimension as an internal error
+            raise WireError(f"implausible image dimensions {w}x{h}")
+        return w, h
 
     def rgb(self) -> tuple[int, int, int]:
         """Inverse of :func:`pack_rgb` (ser.rs:216-222)."""
@@ -164,6 +176,12 @@ def wire_to_rgb_stream(data: np.ndarray, count: int | None = None) -> np.ndarray
         if data.size % RGB_WIRE_SIZE:
             raise WireError(f"stream size {data.size} is not a multiple of {RGB_WIRE_SIZE}")
         count = data.size // RGB_WIRE_SIZE
+    elif data.size < count * RGB_WIRE_SIZE:
+        # the C unframer trusts the count: a short untrusted buffer must be
+        # rejected here, not read past (ASan fuzz finding, r4)
+        raise WireError(
+            f"framed stream holds {data.size} bytes, {count} records need "
+            f"{count * RGB_WIRE_SIZE}")
     from . import native
 
     try:
