@@ -35,6 +35,11 @@ synth-corpus:
 div2k-shaped-corpus:
 	python scripts/make_synth_corpus.py data/div2k_shaped 20 --div2k
 
+# The golden-fixture 3840x2160 image (tests/test_golden_4k.py regenerates
+# it in-process; this target materializes the PNG for hardware runs)
+synth-4k:
+	python scripts/make_synth_corpus.py data/4k --4k
+
 LOSSLESS_DIAGRAM = output/boxplot.png
 LOSSY_DIAGRAM = output/error_vs_compression.png
 TRACKED_DIAGRAMS = lossy_status.png lossless_status.png
@@ -133,4 +138,4 @@ asan-fuzz:
 	    python -m pytest tests/test_fuzz_decode.py -q \
 	    -k "not cluster and not voronoi"
 
-.PHONY: all clean diagrams synth-corpus test bench asan-fuzz
+.PHONY: all clean diagrams synth-corpus synth-4k test bench asan-fuzz

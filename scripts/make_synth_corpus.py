@@ -69,10 +69,17 @@ def synth_natural(rng, h, w):
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "data/synth"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else "data/synth"
+    n = int(args[1]) if len(args) > 1 else 24
     div2k = "--div2k" in sys.argv
     os.makedirs(out_dir, exist_ok=True)
+    if "--4k" in sys.argv:
+        # the golden-fixture image (tests/test_golden_4k.py pins its sha)
+        img = synth_natural(np.random.default_rng(42), 2160, 3840)
+        image_io.save_png(img, os.path.join(out_dir, "synth4k_0000.png"))
+        print(f"wrote 3840x2160 image to {out_dir}")
+        return
     rng = np.random.default_rng(7)
     if div2k:
         for i in range(n):
@@ -80,7 +87,7 @@ def main():
                               os.path.join(out_dir, f"nat_{i:04d}.png"))
         print(f"wrote {n} 2040x1356 natural-statistics images to {out_dir}")
         return
-    side = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    side = int(args[2]) if len(args) > 2 else 1024
     for i in range(n):
         image_io.save_png(synth(rng, side, side), os.path.join(out_dir, f"synth_{i:04d}.png"))
     print(f"wrote {n} {side}x{side} images to {out_dir}")
