@@ -180,6 +180,11 @@ def main() -> int:
         "decode_geomean_mps": round(_geomean(dec_mps.values()), 3),
         "per_codec_mps": {k: round(v, 3) for k, v in enc_mps.items()},
         "per_codec_decode_mps": {k: round(v, 3) for k, v in dec_mps.items()},
+        # self-describing suite (VERDICT r3 #6): future comparisons can
+        # see the shapes a run measured instead of reconstructing them
+        # from round notes
+        "suite": [{"spec": spec, "side": side, "images": n, "trials": TRIALS}
+                  for spec, side, n in SUITE],
     }
     if speedups:
         out["per_codec_vs_host"] = {k: round(v, 2) for k, v in speedups.items()}
