@@ -40,6 +40,11 @@ div2k-shaped-corpus:
 synth-4k:
 	python scripts/make_synth_corpus.py data/4k --4k
 
+# Textured night-statistics corpus: brackets the lossy chart magnitudes
+# (VERDICT r3 #4) — the natural corpus remains the lossless-chart stand-in
+textured-corpus:
+	python scripts/make_synth_corpus.py data/textured 12 --textured
+
 LOSSLESS_DIAGRAM = output/boxplot.png
 LOSSY_DIAGRAM = output/error_vs_compression.png
 TRACKED_DIAGRAMS = lossy_status.png lossless_status.png
@@ -138,4 +143,4 @@ asan-fuzz:
 	    python -m pytest tests/test_fuzz_decode.py -q \
 	    -k "not cluster and not voronoi"
 
-.PHONY: all clean diagrams synth-corpus synth-4k test bench asan-fuzz
+.PHONY: all clean diagrams synth-corpus synth-4k textured-corpus test bench asan-fuzz
