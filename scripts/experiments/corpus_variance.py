@@ -5,9 +5,13 @@ Explains each corpus's lossy-chart offsets from first principles:
 
 - grid-cell variance at the voronoi-equivalent cell area for k in
   {64, 256, 2048} — positional k-means cells are near-square on uniform
-  content, so mean within-cell summed-channel variance is a faithful
-  proxy for the voronoi codec's MSE at that k (measured r4: proxy vs
-  codec agree within ~15% on both corpora);
+  content, so mean within-cell summed-channel variance is the
+  content-side proxy for the voronoi codec's MSE at that k (measured r4:
+  codec = 0.75-0.81x proxy on the smooth corpus, 1.60-1.69x on the
+  textured one — above 1 exactly when fine texture makes the decoder's
+  positional-only wrapped-u32 cells diverge from the 5-D encode
+  clusters whose centroid colors they reuse; see BENCH_NOTES.md
+  "textured-corpus parity table");
 - unique-color count and the share of pixels within the dominant
   color mode (8-px-radius ball around the most common quantized color)
   — what the unique-color-weighted k-means sees, i.e. whether
