@@ -45,6 +45,11 @@ synth-4k:
 textured-corpus:
 	python scripts/make_synth_corpus.py data/textured 12 --textured
 
+# Whole-matrix sweep with the device/host overlapped driver (VERDICT r3
+# #7: measured 1.39x over serial on the textured matrix, CSVs identical)
+sweep-overlapped:
+	python scripts/run_sweep.py --batch=4 --out=output $(DATASET)
+
 LOSSLESS_DIAGRAM = output/boxplot.png
 LOSSY_DIAGRAM = output/error_vs_compression.png
 TRACKED_DIAGRAMS = lossy_status.png lossless_status.png
@@ -143,4 +148,4 @@ asan-fuzz:
 	    python -m pytest tests/test_fuzz_decode.py -q \
 	    -k "not cluster and not voronoi"
 
-.PHONY: all clean diagrams synth-corpus synth-4k textured-corpus test bench asan-fuzz
+.PHONY: all clean diagrams synth-corpus synth-4k textured-corpus sweep-overlapped test bench asan-fuzz
