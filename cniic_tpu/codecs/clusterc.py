@@ -142,14 +142,19 @@ class VoronoiCluster(Codec):
         self._dev_imgs: dict = {}
 
     def _cache_put(self, key, value) -> None:
+        # under the runner pipeline this runs in the worker thread while
+        # decode_mse_batch pops from the main thread — eviction must
+        # tolerate the oldest key vanishing between next(iter()) and pop
         self._dev_imgs[key] = value
         while len(self._dev_imgs) > self._DEV_CACHE_CAP:
-            self._dev_imgs.pop(next(iter(self._dev_imgs)))
+            try:
+                self._dev_imgs.pop(next(iter(self._dev_imgs)), None)
+            except (StopIteration, RuntimeError):
+                break
 
     def _serialize(self, w: int, h: int, centroids: np.ndarray) -> bytes:
         out = bytearray()
-        out += wire.pack_u32(w)
-        out += wire.pack_u32(h)
+        out += wire.pack_dims(w, h)  # same bytes as u32(w)+u32(h), adds the 2^27 cap
         out += wire.pack_u64(self.n)
         for cx, cy, r, g, b in centroids.tolist():
             out += wire.pack_u32(cx)

@@ -36,8 +36,6 @@ def _records_to_bytes(counts: np.ndarray, colors: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-
-
 class Hilbert(Codec):
     def __init__(self, mode: str, allow: float = 0.0) -> None:
         assert mode in ("rle", "zip")

@@ -18,10 +18,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "cniic_native.c")
-# CNIIC_NATIVE_LIB points at an alternate prebuilt library (the ASan fuzz
-# build, `make asan-fuzz`); the default is built on demand from _SRC.
-_LIB = os.environ.get("CNIIC_NATIVE_LIB",
-                      os.path.join(_HERE, "libcniic_native.so"))
+_DEFAULT_LIB = os.path.join(_HERE, "libcniic_native.so")
+_LIB = _DEFAULT_LIB  # resolved (with CNIIC_NATIVE_LIB) once, inside _load()
 _lock = threading.Lock()
 _lib = None
 
@@ -49,14 +47,21 @@ def _build() -> None:
 
 
 def _load() -> ctypes.CDLL:
-    global _lib
+    global _lib, _LIB
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.environ.get("CNIIC_NATIVE_LIB") and (
+        # CNIIC_NATIVE_LIB points at an alternate prebuilt library (the
+        # ASan fuzz build, `make asan-fuzz`), loaded as-is and never
+        # rebuilt. Resolved HERE — once, at first use — so both the path
+        # and the rebuild decision see the same value even if the env var
+        # was set after import (monkeypatch.setenv style).
+        override = os.environ.get("CNIIC_NATIVE_LIB")
+        _LIB = override or _DEFAULT_LIB
+        if not override and (
                 not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            _build()  # an explicit override is loaded as-is, never rebuilt
+            _build()
         lib = ctypes.CDLL(_LIB)
 
         u8p = ctypes.POINTER(ctypes.c_uint8)

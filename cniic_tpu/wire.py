@@ -52,7 +52,14 @@ def pack_u64(x: int) -> bytes:
 
 
 def pack_dims(w: int, h: int) -> bytes:
-    """(u32, u32) tuple framing used as every codec's header (e.g. hufc.rs:13)."""
+    """(u32, u32) tuple framing used as every codec's header (e.g. hufc.rs:13).
+
+    Enforces the same 2^27-pixel plausibility bound as ByteReader.dims()
+    so an oversized image fails loudly at encode time instead of encoding
+    into a stream its own decoder would reject (round-trip symmetry)."""
+    if w <= 0 or h <= 0 or w * h > 1 << 27:
+        raise ValueError(
+            f"image dimensions {w}x{h} exceed the 2^27-pixel framework cap")
     return pack_u32(w) + pack_u32(h)
 
 

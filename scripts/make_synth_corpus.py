@@ -136,9 +136,9 @@ def synth_textured(rng, h, w):
         stripe = np.sin((np.cos(th) * gx + np.sin(th) * gy)
                         * (2 * np.pi / period)) > 0
         c = fam[rng.integers(0, len(fam))] * rng.uniform(0.7, 1.0)
-        patch = img[y0:y0 + hh, x0:x0 + ww]
-        patch[stripe] = c  # binary stripes: no bg<->bright color smear
-        img[y0:y0 + hh, x0:x0 + ww] = patch
+        # basic-slice view: writes land in img directly (binary stripes:
+        # no bg<->bright color smear)
+        img[y0:y0 + hh, x0:x0 + ww][stripe] = c
 
     # small lit windows scattered frame-wide
     for _ in range(int(rng.integers(150, 300))):

@@ -53,14 +53,22 @@ HOST_CONFIGS = [
 ]
 
 
-def run_queue(name, specs, paths, out_dir, batch, results):
+def run_queue(name, specs, paths, out_dir, batch, results, errors):
     t0 = time.perf_counter()
     for spec in specs:
         t1 = time.perf_counter()
-        res = runner.measure_all(from_spec(spec), paths, output_dir=out_dir,
-                                 verbose=False, batch=batch)
+        try:
+            res = runner.measure_all(from_spec(spec), paths,
+                                     output_dir=out_dir,
+                                     verbose=False, batch=batch)
+        except Exception as e:  # a dead queue must fail the sweep, not
+            errors.append(f"{name}/{spec}: {e!r}")  # silently return 0
+            print(f"[{name}] {spec}: FAILED {e!r}", flush=True)
+            continue
         ok = len(res.rows)
         fail = len(res.failures)
+        if fail:
+            errors.append(f"{name}/{spec}: {fail} image(s) failed")
         print(f"[{name}] {spec}: {ok} ok/{fail} failed "
               f"{time.perf_counter() - t1:.1f}s", flush=True)
     results[name] = time.perf_counter() - t0
@@ -92,20 +100,34 @@ def main():
         dev, host = DEVICE_CONFIGS, HOST_CONFIGS
 
     results: dict = {}
+    errors: list = []
     t0 = time.perf_counter()
     if serial:
-        run_queue("serial", dev + host, paths, out_dir, batch, results)
+        run_queue("serial", dev + host, paths, out_dir, batch, results, errors)
     else:
+        # the overlap rationale requires the host queue to stay off the
+        # device; the opt-in device entropy paths would break that (and
+        # the per-queue timings) if left exported
+        for flag in ("CNIIC_DEVICE_BITPACK", "CNIIC_DEVICE_HUF_DECODE"):
+            if os.environ.pop(flag, None) is not None:
+                print(f"note: {flag} disabled for the overlapped sweep",
+                      flush=True)
         th = threading.Thread(
-            target=run_queue, args=("host", host, paths, out_dir, batch, results))
+            target=run_queue,
+            args=("host", host, paths, out_dir, batch, results, errors))
         th.start()
-        run_queue("device", dev, paths, out_dir, batch, results)
+        run_queue("device", dev, paths, out_dir, batch, results, errors)
         th.join()
     total = time.perf_counter() - t0
     for k, v in results.items():
         print(f"{k} queue: {v:.1f}s")
     print(f"total wall-clock: {total:.1f}s "
           f"({'serial' if serial else 'overlapped'})")
+    if errors:
+        print(f"{len(errors)} failure(s):")
+        for e in errors:
+            print(f"  {e}")
+        return 1
     return 0
 
 

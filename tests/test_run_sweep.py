@@ -72,3 +72,20 @@ def test_config_split_routes_kmeans_to_device_queue():
     # the full matrix lists stay in sync with the Makefile's 22 configs
     assert len(run_sweep.DEVICE_CONFIGS) == 11
     assert len(run_sweep.HOST_CONFIGS) == 11
+
+
+def test_failed_config_fails_the_sweep(tmp_path, corpus):
+    # an unknown spec raises inside the queue; the driver must record it
+    # and exit non-zero instead of silently dropping the queue (a dead
+    # thread previously still reported success)
+    argv = ["run_sweep.py", "--serial", "--batch=2",
+            f"--out={tmp_path / 'out'}", "--configs=hufman,no-such-codec"
+            ] + corpus
+    old = sys.argv
+    sys.argv = argv
+    try:
+        assert run_sweep.main() == 1
+    finally:
+        sys.argv = old
+    # the healthy config still ran
+    assert (tmp_path / "out" / "Hufman.csv").exists()

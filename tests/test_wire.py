@@ -111,3 +111,22 @@ def test_byte_from_bits():
     assert wire.byte_from_bits_msb([1, 1, 1, 1, 0, 0, 0, 0]) == 0xF0
     with pytest.raises(wire.WireError):
         wire.byte_from_bits_msb([1])
+
+
+def test_dims_cap_symmetric_encode_decode():
+    # decode side: untrusted u32s beyond the 2^27-pixel cap die as WireError
+    big = wire.pack_u32(20000) + wire.pack_u32(20000)
+    with pytest.raises(wire.WireError):
+        wire.ByteReader(big).dims()
+    zero = wire.pack_u32(0) + wire.pack_u32(5)
+    with pytest.raises(wire.WireError):
+        wire.ByteReader(zero).dims()
+    # encode side mirrors it: no codec can emit a stream its own decoder
+    # rejects (round-trip symmetry)
+    with pytest.raises(ValueError):
+        wire.pack_dims(20000, 20000)
+    with pytest.raises(ValueError):
+        wire.pack_dims(0, 5)
+    # the cap itself is inclusive
+    w, h = 1 << 14, 1 << 13
+    assert wire.ByteReader(wire.pack_dims(w, h)).dims() == (w, h)
