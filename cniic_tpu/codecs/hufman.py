@@ -39,17 +39,22 @@ class Hufman(Codec):
         return colors[ids].reshape(h, w, 3)
 
     def encode_batch(self, imgs) -> list[bytes]:
-        """Device-resident batched encode: one batched sort + segment stats
-        + pack for the whole group (huffman.batch_encode)."""
+        """Batched encode: per-image fused C histogram (hist_rgb packs the
+        24-bit keys in the same pass — the separate numpy key pack cost
+        ~6.5 ms/MP, measured r4) + shared tree/pack stage
+        (huffman.batch_encode_streams)."""
         if len(imgs) < 2:
             return [self.encode(img) for img in imgs]
 
-        def payload_fn(uniq_keys):
-            colors = histogram.unpack_colors(uniq_keys)
-            return np.frombuffer(wire.rgb_stream_to_wire(colors), dtype=np.uint8).reshape(-1, wire.RGB_WIRE_SIZE)
-
-        keys = [histogram.pack_colors(pixels_row_major(img)) for img in imgs]
-        streams = huffman.batch_encode(keys, payload_fn)
+        stats = [histogram.color_histogram(pixels_row_major(img))
+                 for img in imgs]
+        leafs = [
+            np.frombuffer(wire.rgb_stream_to_wire(colors), dtype=np.uint8
+                          ).reshape(-1, wire.RGB_WIRE_SIZE)
+            for (colors, _, _) in stats]
+        streams = huffman.batch_encode_streams(
+            [inv for (_, _, inv) in stats],
+            [cnt for (_, cnt, _) in stats], leafs)
         return [
             wire.pack_dims(img.shape[1], img.shape[0]) + s
             for img, s in zip(imgs, streams)
