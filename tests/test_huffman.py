@@ -240,3 +240,34 @@ def test_delta_keys_matches_reference_recurrence(rng):
     want = (d[:, 0].astype(np.uint32) << 18) | \
         (d[:, 1].astype(np.uint32) << 9) | d[:, 2].astype(np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_hist_u32_hash_and_radix_paths_agree(rng):
+    """The r4 hash front-end (low-unique streams) must be output-identical
+    to the radix path across the dispatch boundary: uniques stay ascending
+    and inverse ids identical, whichever engine ran."""
+    from cniic_tpu import native
+
+    n = 200_000
+    # below / around / above the 16k hash unique cap, and key widths on
+    # both sides of the radix pass thresholds (12/24-bit digits)
+    for bits in (12, 24, 27, 32):
+        for space in (17, 9_000, 16_000, 17_000, 120_000):
+            hi = (1 << bits) - 1
+            pool = rng.integers(0, hi + 1, space, dtype=np.uint64
+                                ).astype(np.uint32)
+            keys = pool[rng.integers(0, space, n)]
+            u, c, inv = native.hist_u32(keys)
+            u2, inv2, c2 = np.unique(keys, return_inverse=True,
+                                     return_counts=True)
+            assert np.array_equal(u, u2), (bits, space)
+            assert np.array_equal(c, c2), (bits, space)
+            assert np.array_equal(inv, inv2.astype(np.int32)), (bits, space)
+    # structured keys: consecutive ints are the multiplicative-hash
+    # clustering case (the low product bits are a permutation of
+    # k mod table_size — 6.3 probes/elem before the high-bits fix)
+    keys = (np.arange(n, dtype=np.uint32) % 9_000) + (1 << 20)
+    u, c, inv = native.hist_u32(keys)
+    u2, inv2, c2 = np.unique(keys, return_inverse=True, return_counts=True)
+    assert np.array_equal(u, u2) and np.array_equal(c, c2)
+    assert np.array_equal(inv, inv2.astype(np.int32))
