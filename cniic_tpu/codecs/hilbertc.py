@@ -27,13 +27,12 @@ from .base import Codec
 
 
 def _records_to_bytes(counts: np.ndarray, colors: np.ndarray) -> bytes:
-    """(R,) u8 counts + (R, 3) u8 colors -> R x 12-byte records."""
-    r = counts.size
-    out = np.empty((r, 12), dtype=np.uint8)
-    out[:, 0] = counts
-    out[:, 1:9] = np.frombuffer(wire.pack_u64(3), dtype=np.uint8)
-    out[:, 9:] = colors
-    return out.tobytes()
+    """(R,) u8 counts + (R, 3) u8 colors -> R x 12-byte records.
+
+    One C sweep (native.rle_records_frame): the column-wise numpy assembly
+    cost 8.2 ms at DIV2K-scale record counts — a third of the whole
+    approx-RLE encode (measured r4)."""
+    return native.rle_records_frame(counts, colors)
 
 
 class Hilbert(Codec):

@@ -95,6 +95,8 @@ def _load() -> ctypes.CDLL:
 
         lib.rgb_frame.argtypes = [u8p, i64, u8p]
         lib.rgb_frame.restype = None
+        lib.rle_records_frame.argtypes = [u8p, u8p, i64, u8p]
+        lib.rle_records_frame.restype = None
         lib.rgb_unframe.argtypes = [u8p, i64, u8p]
         lib.rgb_unframe.restype = ctypes.c_int
 
@@ -337,6 +339,19 @@ def rle_frame(rgb: np.ndarray) -> bytes:
     out = np.empty(rgb.shape[0] * 12, dtype=np.uint8)
     nbytes = lib.rle_frame(_as_u8p(rgb), rgb.shape[0], _as_u8p(out))
     return out[:nbytes].tobytes()
+
+
+def rle_records_frame(counts: np.ndarray, colors: np.ndarray) -> bytes:
+    """(R,) u8 counts + (R, 3) u8 colors -> R x 12-byte RLE records."""
+    lib = _load()
+    counts = np.ascontiguousarray(counts, dtype=np.uint8)
+    colors = np.ascontiguousarray(colors, dtype=np.uint8).reshape(-1, 3)
+    if counts.size != colors.shape[0]:
+        raise ValueError("counts/colors record mismatch")
+    out = np.empty(counts.size * 12, dtype=np.uint8)
+    lib.rle_records_frame(_as_u8p(counts), _as_u8p(colors), counts.size,
+                          _as_u8p(out))
+    return out.tobytes()
 
 
 def rgb_frame(rgb: np.ndarray) -> np.ndarray:

@@ -1122,6 +1122,22 @@ EXPORT int64_t rle_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
     return w;
 }
 
+/* (count, color) record list -> 12-byte RLE wire records (the framing
+ * tail of the approx-RLE encoders; the column-wise numpy assembly cost
+ * 8.2 ms/MP at DIV2K-scale record counts, this loop ~1 ms). */
+EXPORT void rle_records_frame(const uint8_t *counts, const uint8_t *colors,
+                              int64_t r, uint8_t *out) {
+    for (int64_t i = 0; i < r; i++) {
+        out[0] = counts[i];
+        out[1] = 3;
+        memset(out + 2, 0, 7);
+        out[9] = colors[3 * i];
+        out[10] = colors[3 * i + 1];
+        out[11] = colors[3 * i + 2];
+        out += 12;
+    }
+}
+
 EXPORT void rgb_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
     static const uint8_t prefix[8] = {3, 0, 0, 0, 0, 0, 0, 0};
     for (int64_t i = 0; i < n; i++) {
