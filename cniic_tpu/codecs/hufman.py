@@ -32,11 +32,14 @@ class Hufman(Codec):
         return wire.pack_dims(w, h) + stream
 
     def decode(self, data) -> np.ndarray:
+        from .. import native
+
         r = wire.ByteReader(data)
         w, h = r.dims()
         payloads, ids = huffman.decode_stream(r.rest(), wire.RGB_WIRE_SIZE, w * h)
         colors = wire.wire_to_rgb_stream(np.asarray(payloads).reshape(-1))
-        return colors[ids].reshape(h, w, 3)
+        # C palette gather — numpy's row fancy-index was 40% of decode
+        return native.palette_gather(ids, colors).reshape(h, w, 3)
 
     def encode_batch(self, imgs) -> list[bytes]:
         """Batched encode: per-image fused C histogram (hist_rgb packs the

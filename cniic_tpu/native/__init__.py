@@ -97,6 +97,8 @@ def _load() -> ctypes.CDLL:
         lib.rgb_frame.restype = None
         lib.rle_records_frame.argtypes = [u8p, u8p, i64, u8p]
         lib.rle_records_frame.restype = None
+        lib.palette_gather_rgb.argtypes = [i32p, u8p, i64, u8p]
+        lib.palette_gather_rgb.restype = None
         lib.rgb_unframe.argtypes = [u8p, i64, u8p]
         lib.rgb_unframe.restype = ctypes.c_int
 
@@ -339,6 +341,18 @@ def rle_frame(rgb: np.ndarray) -> bytes:
     out = np.empty(rgb.shape[0] * 12, dtype=np.uint8)
     nbytes = lib.rle_frame(_as_u8p(rgb), rgb.shape[0], _as_u8p(out))
     return out[:nbytes].tobytes()
+
+
+def palette_gather(ids: np.ndarray, colors: np.ndarray) -> np.ndarray:
+    """(N,) int32 ids + (u, 3) u8 palette -> (N, 3) u8. ids must be
+    in-range (decoder-internal; huf_decode bounds them by the tree)."""
+    lib = _load()
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    colors = np.ascontiguousarray(colors, dtype=np.uint8).reshape(-1, 3)
+    out = np.empty((ids.size, 3), dtype=np.uint8)
+    lib.palette_gather_rgb(_as_i32p(ids), _as_u8p(colors), ids.size,
+                           _as_u8p(out))
+    return out
 
 
 def rle_records_frame(counts: np.ndarray, colors: np.ndarray) -> bytes:

@@ -1122,6 +1122,20 @@ EXPORT int64_t rle_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
     return w;
 }
 
+/* RGB palette gather: out[i] = colors[ids[i]] for (u, 3) u8 colors.
+ * numpy's row fancy-index ran at 13 ms/MP — 40% of the whole hufman
+ * decode (measured r4); this loop streams it in ~2 ms. ids must be
+ * in-range (they come from huf_decode, bounded by the parsed tree). */
+EXPORT void palette_gather_rgb(const int32_t *ids, const uint8_t *colors,
+                               int64_t n, uint8_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *c = colors + 3 * (int64_t)ids[i];
+        out[3 * i] = c[0];
+        out[3 * i + 1] = c[1];
+        out[3 * i + 2] = c[2];
+    }
+}
+
 /* (count, color) record list -> 12-byte RLE wire records (the framing
  * tail of the approx-RLE encoders; the column-wise numpy assembly cost
  * 8.2 ms/MP at DIV2K-scale record counts, this loop ~1 ms). */
