@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import wire
+from .. import native, wire
 from ..ops import histogram, kmeans, voronoi
 from .base import Codec, pixels_row_major
 from .hufman import Hufman
@@ -52,7 +52,8 @@ def _palette_stream_parts(n: int, counts, inverse, centroids, assignment):
     leaf = np.frombuffer(
         wire.rgb_stream_to_wire(histogram.unpack_colors(uniq_keys.astype(np.uint32))),
         dtype=np.uint8).reshape(-1, wire.RGB_WIRE_SIZE)
-    ids = pal_rank.astype(np.int32)[assignment][inverse]
+    # per-pixel palette ids in one C gather (numpy fancy-index: 4 ms/MP)
+    ids = native.gather_i32(inverse, pal_rank.astype(np.int32)[assignment])
     return ids, freq, leaf
 
 

@@ -99,6 +99,8 @@ def _load() -> ctypes.CDLL:
         lib.rle_records_frame.restype = None
         lib.palette_gather_rgb.argtypes = [i32p, u8p, i64, u8p]
         lib.palette_gather_rgb.restype = None
+        lib.gather_i32.argtypes = [i32p, i32p, i64, i32p]
+        lib.gather_i32.restype = None
         lib.rgb_unframe.argtypes = [u8p, i64, u8p]
         lib.rgb_unframe.restype = ctypes.c_int
 
@@ -341,6 +343,17 @@ def rle_frame(rgb: np.ndarray) -> bytes:
     out = np.empty(rgb.shape[0] * 12, dtype=np.uint8)
     nbytes = lib.rle_frame(_as_u8p(rgb), rgb.shape[0], _as_u8p(out))
     return out[:nbytes].tobytes()
+
+
+def gather_i32(idx: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """(N,) int32 indices + (u,) int32 table -> (N,) int32. idx must be
+    in-range (encoder-internal: histogram inverse ids)."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    table = np.ascontiguousarray(table, dtype=np.int32)
+    out = np.empty(idx.size, dtype=np.int32)
+    lib.gather_i32(_as_i32p(idx), _as_i32p(table), idx.size, _as_i32p(out))
+    return out
 
 
 def palette_gather(ids: np.ndarray, colors: np.ndarray) -> np.ndarray:

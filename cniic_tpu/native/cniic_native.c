@@ -1136,6 +1136,13 @@ EXPORT void palette_gather_rgb(const int32_t *ids, const uint8_t *colors,
     }
 }
 
+/* i32 table gather: out[i] = table[idx[i]] (the palette-id resolution of
+ * the cluster-colors encoder; numpy's 1-D fancy-index ran 4 ms/MP). */
+EXPORT void gather_i32(const int32_t *idx, const int32_t *table, int64_t n,
+                       int32_t *out) {
+    for (int64_t i = 0; i < n; i++) out[i] = table[idx[i]];
+}
+
 /* (count, color) record list -> 12-byte RLE wire records (the framing
  * tail of the approx-RLE encoders; the column-wise numpy assembly cost
  * 8.2 ms/MP at DIV2K-scale record counts, this loop ~1 ms). */
