@@ -49,8 +49,11 @@ class Hufman(Codec):
         if len(imgs) < 2:
             return [self.encode(img) for img in imgs]
 
-        stats = [histogram.color_histogram(pixels_row_major(img))
-                 for img in imgs]
+        from .. import trace
+
+        with trace.span("huffman.stats"):
+            stats = [histogram.color_histogram(pixels_row_major(img))
+                     for img in imgs]
         leafs = [
             np.frombuffer(wire.rgb_stream_to_wire(colors), dtype=np.uint8
                           ).reshape(-1, wire.RGB_WIRE_SIZE)

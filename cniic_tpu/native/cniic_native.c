@@ -1125,7 +1125,11 @@ EXPORT int64_t rle_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
 /* RGB palette gather: out[i] = colors[ids[i]] for (u, 3) u8 colors.
  * numpy's row fancy-index ran at 13 ms/MP — 40% of the whole hufman
  * decode (measured r4); this loop streams it in ~2 ms. ids must be
- * in-range (they come from huf_decode, bounded by the parsed tree). */
+ * in-range (they come from huf_decode, bounded by the parsed tree).
+ * Sibling of gather_rgb (int64 curve permutations) and gather_i32: the
+ * index width is deliberate — decoder ids are int32, and widening a
+ * megapixel id array would cost more than the gather. Any hardening
+ * applied to one of the three gathers belongs on all of them. */
 EXPORT void palette_gather_rgb(const int32_t *ids, const uint8_t *colors,
                                int64_t n, uint8_t *out) {
     for (int64_t i = 0; i < n; i++) {
@@ -1329,13 +1333,13 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
     /* stride-sample first: a high-entropy stream (photo-scale unique
      * counts) would waste a partial pass before hitting the bail cap */
     int64_t sn = n < 32768 ? n : 32768;
-    int64_t stride = n / sn;
     enum { SLG = 15 };
-    uint32_t *stab = (uint32_t *)calloc((size_t)1 << SLG, sizeof(uint32_t));
+    /* u64 slots so the k+1 "occupied" sentinel cannot wrap to the empty
+     * marker for key 0xFFFFFFFF */
+    uint64_t *stab = (uint64_t *)calloc((size_t)1 << SLG, sizeof(uint64_t));
     if (!stab) return -2;
     const uint32_t smask = ((uint32_t)1 << SLG) - 1;
     int64_t ds = 0;
-    (void)stride;
     for (int64_t s = 0; s < sn; s++) {
         uint32_t k = keys[(s * n) / sn];  /* even spread over the stream */
         /* multiplicative hashing must take the HIGH product bits: the low
@@ -1343,10 +1347,11 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
          * (delta diffs) collide there en masse (measured 6.3 probes/elem
          * vs 1.04 with the shift) */
         uint32_t h = (uint32_t)(k * 2654435761u) >> (32 - SLG);
+        uint64_t want = (uint64_t)k + 1;
         for (;;) {
-            uint32_t v = stab[h];
-            if (!v) { stab[h] = k + 1; ds++; break; }  /* k+1: 0 = empty */
-            if (v == k + 1) break;
+            uint64_t v = stab[h];
+            if (!v) { stab[h] = want; ds++; break; }
+            if (v == want) break;
             h = (h + 1) & smask;
         }
         if (ds > HASH_UCAP * 5 / 8) { free(stab); return -2; }

@@ -271,3 +271,16 @@ def test_hist_u32_hash_and_radix_paths_agree(rng):
     u2, inv2, c2 = np.unique(keys, return_inverse=True, return_counts=True)
     assert np.array_equal(u, u2) and np.array_equal(c, c2)
     assert np.array_equal(inv, inv2.astype(np.int32))
+
+
+def test_hist_u32_top_key_sentinel():
+    """0xFFFFFFFF must not collide with the hash tables' empty sentinel
+    (k+1 wrapped to 0 in a u32 slot before the r4 review fix)."""
+    from cniic_tpu import native
+
+    k = np.full(200_000, 0xFFFFFFFF, np.uint32)
+    k[::7] = 5
+    u, c, inv = native.hist_u32(k)
+    u2, inv2, c2 = np.unique(k, return_inverse=True, return_counts=True)
+    assert np.array_equal(u, u2) and np.array_equal(c, c2)
+    assert np.array_equal(inv, inv2.astype(np.int32))
