@@ -65,7 +65,9 @@ def _special_hilbert(paths) -> None:
         # power-of-two dimension is HALVED (w=512 -> 256), since Rust's
         # next_power_of_two(512) == 512. Pinned by tests/test_cli.py.
         so = min(_next_pow2(w) >> 1, _next_pow2(h) >> 1)
-        dump(hilbert.scan_coords(so, so), "small")
+        # a dimension of 1 gives side 0: the reference's iterator is simply
+        # empty there — emit a header-only CSV instead of crashing
+        dump(hilbert.scan_coords(so, so) if so > 0 else [], "small")
 
         # smallest covering square, out-of-bounds filtered (hilbert.rs:25-32)
         so = max(_next_pow2(w), _next_pow2(h))
@@ -93,7 +95,12 @@ def main(argv=None) -> int:
     rest = []
     for a in [command] + files:
         if a.startswith("--batch="):
-            batch = int(a[len("--batch="):])
+            try:
+                batch = int(a[len("--batch="):])
+            except ValueError:
+                print(f"Malformed batch argument: {a!r}", file=sys.stderr)
+                print(USAGE, file=sys.stderr)
+                return 1
         elif a == "--resume":
             resume = True
         else:

@@ -21,17 +21,25 @@ from .base import Codec
 LEAF_SIZE = 6  # 3 x i16 LE
 
 
+def _keys_to_leafs(uniq_keys: np.ndarray) -> np.ndarray:
+    """Packed 9-bit-per-channel diff keys -> 6-byte i16x3 leaf payloads.
+
+    Load-bearing wire-format arithmetic (the inverse of delta_keys'
+    (d+255) packing) shared by both encode paths so they cannot drift."""
+    uniq_diffs = np.empty((uniq_keys.size, 3), dtype=np.int16)
+    uniq_diffs[:, 0] = ((uniq_keys >> 18) & 0x1FF).astype(np.int16) - 255
+    uniq_diffs[:, 1] = ((uniq_keys >> 9) & 0x1FF).astype(np.int16) - 255
+    uniq_diffs[:, 2] = (uniq_keys & 0x1FF).astype(np.int16) - 255
+    return wire.i16_triplets_to_wire(uniq_diffs).reshape(-1, LEAF_SIZE)
+
+
 class Delta(Codec):
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
         scan = hilbert.linearize(img)
         keys = native.delta_keys(scan)  # fused diff+pack (C)
         uniq, counts, inverse = histogram.key_histogram(keys)
-        uniq_diffs = np.empty((uniq.size, 3), dtype=np.int16)
-        uniq_diffs[:, 0] = ((uniq >> 18) & 0x1FF).astype(np.int16) - 255
-        uniq_diffs[:, 1] = ((uniq >> 9) & 0x1FF).astype(np.int16) - 255
-        uniq_diffs[:, 2] = (uniq & 0x1FF).astype(np.int16) - 255
-        leaf_payloads = wire.i16_triplets_to_wire(uniq_diffs).reshape(-1, LEAF_SIZE)
+        leaf_payloads = _keys_to_leafs(uniq)
 
         stream = huffman.encode_stream(inverse.astype(np.int32), counts, leaf_payloads)
         return wire.pack_dims(w, h) + stream
@@ -58,15 +66,8 @@ class Delta(Codec):
         if len(imgs) < 2:
             return [self.encode(img) for img in imgs]
 
-        def payload_fn(uniq_keys):
-            uniq_diffs = np.empty((uniq_keys.size, 3), dtype=np.int16)
-            uniq_diffs[:, 0] = ((uniq_keys >> 18) & 0x1FF).astype(np.int16) - 255
-            uniq_diffs[:, 1] = ((uniq_keys >> 9) & 0x1FF).astype(np.int16) - 255
-            uniq_diffs[:, 2] = (uniq_keys & 0x1FF).astype(np.int16) - 255
-            return wire.i16_triplets_to_wire(uniq_diffs).reshape(-1, LEAF_SIZE)
-
         keys = [native.delta_keys(hilbert.linearize(img)) for img in imgs]
-        streams = huffman.batch_encode(keys, payload_fn)
+        streams = huffman.batch_encode(keys, _keys_to_leafs)
         return [
             wire.pack_dims(img.shape[1], img.shape[0]) + s
             for img, s in zip(imgs, streams)

@@ -25,6 +25,10 @@ _lib = None
 
 
 def _build() -> None:
+    # compile to a per-pid temp path and os.replace into place: concurrent
+    # fresh processes otherwise race and one can dlopen a half-written .so
+    # (the same tmp+rename discipline as hilbert.py's disk cache)
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     base = [
         os.environ.get("CC", "cc"),
         "-O3",
@@ -32,7 +36,7 @@ def _build() -> None:
         "-shared",
         "-fvisibility=hidden",
         "-o",
-        _LIB,
+        tmp,
         _SRC,
         "-lm",
     ]
@@ -44,6 +48,7 @@ def _build() -> None:
                        capture_output=True)
     except subprocess.CalledProcessError:
         subprocess.run(base, check=True, capture_output=True)
+    os.replace(tmp, _LIB)
 
 
 def _load() -> ctypes.CDLL:

@@ -146,6 +146,16 @@ def pack_bits_batch(ids: np.ndarray, codes: np.ndarray, lens: np.ndarray,
     latency measured).
     Returns the list of padded byte strings.
     """
+    # the kernel's bit offsets are an int32 cumsum: streams at/over 2^31
+    # payload bits would wrap and silently drop writes (review r4). The
+    # worst case (max len x symbols) is conservative but cheap; callers
+    # with exact totals stay far below it at the 2^27-pixel cap.
+    worst = int(lens.max(initial=0)) * ids.shape[1]
+    if worst >= 1 << 31 and (total_bits is None
+                             or max(total_bits) * 2 >= 1 << 31):
+        raise ValueError(
+            f"device bitpack cannot address >= 2^31 payload bits "
+            f"(worst case {worst}); use the host packer")
     hi = (codes >> np.uint64(32)).astype(np.uint32)
     lo = codes.astype(np.uint32)
     n_words = 2 * ids.shape[1] + 2

@@ -834,11 +834,19 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
     it, cur, cents = _drive(pts_f, pts_i, w_dev, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, pw, split, wide,
                             d2_bound, max_iters)
-    # active counts + centroids in one packed u16 fetch (two fewer tunnel
-    # round trips; coords <= 16383 and colors <= 255 both fit u16)
-    packed = np.asarray(_voronoi_finish_u16(cur, valid, cents, k)).astype(np.int64)
-    actives = packed[:, 0]
-    cents_np = packed[:, 1:].reshape(B, k, 5)
+    if k <= 65535:
+        # active counts + centroids in one packed u16 fetch (two fewer
+        # tunnel round trips; coords <= 16383, colors <= 255, and the
+        # active count <= k all fit u16)
+        packed = np.asarray(
+            _voronoi_finish_u16(cur, valid, cents, k)).astype(np.int64)
+        actives = packed[:, 0]
+        cents_np = packed[:, 1:].reshape(B, k, 5)
+    else:
+        # k beyond u16: the active count would wrap in the packed fetch
+        # (review r4) — fall back to two plain fetches
+        actives = np.asarray(_active_counts(cur, valid, k)).astype(np.int64)
+        cents_np = np.asarray(cents).astype(np.int64)
     out = []
     for b in range(B):
         try:

@@ -292,6 +292,7 @@ def pick_block(n_pad: int, k: int, batch: int = 1) -> int:
     return 0
 
 
+@functools.lru_cache(maxsize=64)
 def kmeans_loop_pallas_sharded(mesh, k: int, max_iters: int, bs: int,
                                vp: int, wp: int, pk: int, d2b: int,
                                packed: bool, stall_lim: int,

@@ -90,6 +90,7 @@ def shard_batch(mesh: Mesh, *arrays):
 # point-sharded k-means: one huge point set split over the mesh
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
 def _sharded_burst(mesh: Mesh, k: int, d: int, n_loc: int, bs: int, vp: int,
                    wp: int, pk: int, pw: int, split: int, wide: bool,
                    burst: int, stall_lim: int):
@@ -157,10 +158,11 @@ def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
 
     points = np.asarray(points)
     n, d = points.shape
-    if n < k:
-        raise ValueError(f"k-means needs at least k points ({n} < {k})")
-    if n // k == 0:
-        raise ValueError("points_per_cluster must be > 0 (kmeans.rs:68)")
+    # same exact-arithmetic feasibility bounds as the single-chip entry
+    # points (< 2^27 points/weight, coords <= 16383, int32 weighted
+    # values): sharding distributes the work but the psum'd plane sums
+    # land in the same int32/long-division budgets
+    km._validate_lane(points, weights, k)
     ndev = int(mesh.devices.size)
     max_val = int(points.max(initial=0))
     max_w = 1 if weights is None else max(int(np.max(weights)), 1)
@@ -223,6 +225,7 @@ def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
     return centroids, assignment, it
 
 
+@functools.lru_cache(maxsize=8)
 def sharded_mse(mesh: Mesh):
     """Batched MSE with the image batch sharded over chips.
 
@@ -242,6 +245,7 @@ def sharded_mse(mesh: Mesh):
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=8)
 def sharded_voronoi_reconstruct(mesh: Mesh):
     """Voronoi decode with the pixel rows sharded over chips.
 

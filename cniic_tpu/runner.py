@@ -72,12 +72,29 @@ def measure_all(codec: Codec, paths, output_dir: str = "output",
 
     done = set()
     if resume and os.path.exists(csv_path):
+        corrupt = False
         with open(csv_path, newline="") as fh:
             for row in list(csv.reader(fh))[1:]:
-                if row:
-                    done.add(row[0])
-                    res.rows.append([row[0], int(row[1]), float(row[2]), float(row[3])])
+                try:
+                    parsed = [row[0], int(row[1]), float(row[2]),
+                              float(row[3])]
+                except (IndexError, ValueError):
+                    # a crash mid-write leaves a short/garbled final line;
+                    # treat that image as not-done and re-bench it rather
+                    # than making --resume unusable on interrupted runs
+                    corrupt = bool(row)
+                    continue
+                done.add(row[0])
+                res.rows.append(parsed)
         paths = [p for p in paths if str(p) not in done]
+        if corrupt and done:
+            # rewrite with only the well-formed rows so the appends below
+            # don't merge onto a partial line
+            with open(csv_path, "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(["name", "compressed_size", "compression_ratio",
+                            "error"])
+                w.writerows(res.rows)
 
     mode = "a" if done else "w"
     with open(csv_path, mode, newline="") as fh:
