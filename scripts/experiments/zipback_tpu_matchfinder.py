@@ -181,9 +181,17 @@ def main():
         # transfer floor: stream up + (len u16, back u16) table down
         up_t, dev_stream = timed(
             lambda: jax.device_put(stream).block_until_ready())
-        lens_dev = jnp.zeros(n, jnp.uint16) + dev_stream[0].astype(jnp.uint16)
-        backs_dev = lens_dev + 1
-        dn_t, _ = timed(lambda: (np.asarray(lens_dev), np.asarray(backs_dev)))
+        # fresh device arrays per rep: jax.Array caches its host copy after
+        # the first np.asarray, so re-converting the same array measures a
+        # cache hit, not the tunnel (review r4)
+        def down_once():
+            ld = (jnp.zeros(n, jnp.uint16)
+                  + dev_stream[0].astype(jnp.uint16) + down_once.salt)
+            bd = ld + 1
+            down_once.salt += 1
+            return np.asarray(ld), np.asarray(bd)
+        down_once.salt = jnp.uint16(0)
+        dn_t, _ = timed(down_once)
         print(f"transfers: stream up {up_t:.3f} s, match table down {dn_t:.3f} s "
               f"(sum {(up_t+dn_t)/t_c*100:.0f}% of C total)")
 
@@ -191,10 +199,13 @@ def main():
         for K, T in ((1, 8), (2, 16)):
             m = device_matcher(K, T)
             m(dev_stream)  # warm
+            # the np.asarray sync must sit INSIDE the timed region:
+            # block_until_ready is unreliable on axon (CLAUDE.md), so a
+            # sync placed after timed() can leave only dispatch measured
+            # (review r4; under-measuring device cost only made the
+            # recorded refutation conservative)
             t_dev, out = timed(
-                lambda m=m: jax.block_until_ready(m(dev_stream)), reps=3)
-            # force real sync (block_until_ready is unreliable on axon)
-            np.asarray(out[0][:8])
+                lambda m=m: np.asarray(m(dev_stream)[0][:8]), reps=3)
             print(f"device matcher K={K} T={T}: {t_dev:.3f} s "
                   f"({t_dev/t_c:.1f}x C total; full semantics need all "
                   f"window candidates + uncapped extension)")
@@ -211,8 +222,7 @@ def main():
             return r, i
 
         sort13(r0, idx)
-        t_sort, out = timed(lambda: jax.block_until_ready(sort13(r0, idx)))
-        np.asarray(out[0][:8])
+        t_sort, out = timed(lambda: np.asarray(sort13(r0, idx)[0][:8]))
         print(f"13 prefix-doubling sorts (suffix-rank floor): {t_sort:.3f} s "
               f"({t_sort/t_c:.1f}x C total)")
 

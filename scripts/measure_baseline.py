@@ -45,13 +45,21 @@ def main() -> int:
         codec = from_spec(spec)
         imgs = [bench.synth_image(rng, side, side) for _ in range(n_imgs)]
         mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
-        # one warmup image (compile/caches), then one timed pass — the heavy
-        # codecs take minutes per pass on the host CPU, median-of-N is a
-        # luxury reserved for the TPU side
-        codec.encode_batch(imgs[:1])
+        # warmup at the EXACT batch shape (review r4: a 1-image warmup left
+        # the batch-4 XLA compile inside the timed region for the k-means
+        # codecs, depressing the baseline and inflating vs_baseline), then
+        # one timed pass — the heavy codecs take minutes per pass on the
+        # host CPU, median-of-N is a luxury reserved for the TPU side
+        codec.encode_batch(imgs)
         t0 = time.perf_counter()
         blobs = codec.encode_batch(imgs)
         enc_s = time.perf_counter() - t0
+        # NOTE: decode here is the per-image decode() loop, not bench.py's
+        # batched/fused decode path — decode_mps is a host reference point,
+        # NOT the denominator of any published speedup (bench.py computes
+        # vs_baseline from encode only)
+        for b in blobs[:1]:
+            codec.decode(b)  # decode-side warm (tables, caches)
         t0 = time.perf_counter()
         for b in blobs:
             codec.decode(b)

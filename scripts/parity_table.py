@@ -38,7 +38,7 @@ def stats(path):
     ratios, errs, sizes = [], [], []
     with open(path, newline="") as fh:
         for row in list(csv.reader(fh))[1:]:
-            if row:
+            if len(row) >= 4:  # skip non-bench CSVs (png.csv is 3-column)
                 sizes.append(int(row[1]))
                 ratios.append(float(row[2]))
                 errs.append(float(row[3]))
@@ -51,9 +51,9 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "output"
     rows = []
     for path in sorted(glob.glob(os.path.join(out, "*.csv"))):
+        if path.endswith(".hilbert.csv"):  # --special=hilbert dumps (the
+            continue                       # same filter as cniic.py:14-16)
         name = os.path.basename(path)[:-4]
-        if name.endswith(".csv"):  # .csv.bak style artifacts
-            continue
         ratio, err, n, sizes = stats(path)
         if not n:
             continue
