@@ -137,7 +137,8 @@ def main() -> int:
                 failures[codec.name] = repr(e)[:200]
                 print(f"{codec.name}: attempt {attempt + 1} failed: {e!r}",
                       file=sys.stderr)
-                time.sleep(20)
+                if attempt < 2:  # no point sleeping after the last attempt
+                    time.sleep(20)
         if not ok:  # a failed codec flags but doesn't kill the bench
             details.append(f"{codec.name}: FAILED {failures[codec.name]}")
             continue
