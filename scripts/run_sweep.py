@@ -53,6 +53,17 @@ HOST_CONFIGS = [
 ]
 
 
+def split_configs(configs=None):
+    """Route configs to the (device, host) queues: the k-means codecs own
+    the device; everything else is host-C. The single routing authority —
+    tests assert on this function, not a copy."""
+    if configs is None:
+        return DEVICE_CONFIGS, HOST_CONFIGS
+    dev = [c for c in configs
+           if c.startswith(("cluster-colors", "voronoi", "ccol", "c-col"))]
+    return dev, [c for c in configs if c not in dev]
+
+
 def run_queue(name, specs, paths, out_dir, batch, results, errors):
     t0 = time.perf_counter()
     for spec in specs:
@@ -93,11 +104,7 @@ def main():
         print(__doc__, file=sys.stderr)
         return 1
 
-    if configs is not None:
-        dev = [c for c in configs if c.startswith(("cluster-colors", "voronoi"))]
-        host = [c for c in configs if c not in dev]
-    else:
-        dev, host = DEVICE_CONFIGS, HOST_CONFIGS
+    dev, host = split_configs(configs)
 
     results: dict = {}
     errors: list = []

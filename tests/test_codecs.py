@@ -260,11 +260,14 @@ def test_decode_survives_fuzz(spec, rng):
         bad[pos] ^= 0x5A
         cases.append(bytes(bad))
     for data in cases:
+        # the contract: either a clean exception or a real image array —
+        # the assert must live OUTSIDE the try or the except swallows it
+        # (review r4; tests/test_fuzz_decode.py is the structured harness)
         try:
             out = codec.decode(data)
-            assert isinstance(out, np.ndarray)
         except Exception:
-            pass  # clean failure is fine; crashing the process is not
+            continue  # clean failure is fine; crashing the process is not
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
 
 
 def test_kmeans_codecs_reject_too_few_points(rng):

@@ -99,7 +99,7 @@ def test_fuzz_decode(spec, scale):
     # 4. structure-aware: headers/length prefixes live in the first bytes —
     #    corrupt each of them to the classic traps (zero, max, off-by-one)
     for pos in range(min(n, 24)):
-        for val in (0x00, 0xFF, data[pos] + 1 & 0xFF):
+        for val in (0x00, 0xFF, (int(data[pos]) + 1) & 0xFF):
             m = data.copy()
             m[pos] = val
             run(m)

@@ -57,17 +57,21 @@ def test_codecs_are_curve_agnostic(rng, monkeypatch):
 
     img = rng.integers(0, 256, (21, 34, 3)).astype(np.uint8)
     monkeypatch.setenv("CNIIC_CURVE", "snake")
+    snake_rle = None
     for spec in ("hilbert(rle)", "hilbert(rle(4))", "hilbert(zip)", "delta"):
         codec = from_spec(spec)
         blob = codec.encode(img)
+        if spec == "hilbert(rle)":
+            snake_rle = blob
         dec = codec.decode(blob)
         if codec.is_lossless:
             np.testing.assert_array_equal(dec, img)
         else:
             assert dec.shape == img.shape
-    # streams differ between curves (the permutation is real)
+    # streams differ between curves (the permutation is real): same codec,
+    # default gilbert curve vs the snake stream captured above
     monkeypatch.delenv("CNIIC_CURVE")
-    assert from_spec("hilbert(rle)").encode(img) != blob or True
+    assert from_spec("hilbert(rle)").encode(img) != snake_rle
 
 
 def test_unknown_curve_rejected(monkeypatch):

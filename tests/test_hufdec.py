@@ -59,4 +59,17 @@ def test_env_gate_roundtrip(rng, monkeypatch):
     codec = from_spec("hufman")
     data = codec.encode(img)
     monkeypatch.setenv("CNIIC_DEVICE_HUF_DECODE", "1")
+    # pin that the DEVICE path actually engaged: decode_payload_device
+    # returning None silently falls back to the host walker, which would
+    # make this round trip test nothing new (review r4)
+    engaged = []
+    real = hufdec.decode_payload_device
+
+    def spy(*a, **k):
+        out = real(*a, **k)
+        engaged.append(out is not None)
+        return out
+
+    monkeypatch.setattr(hufdec, "decode_payload_device", spy)
     assert np.array_equal(codec.decode(data), img)
+    assert engaged and all(engaged), "device decode path never engaged"

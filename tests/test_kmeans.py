@@ -128,13 +128,13 @@ def test_packed_argmin_matches_plain():
     c1, a1, i1 = km.kmeans(pts, 16)
 
     orig = km._kmeans_loop
-    # force the plain-argmin fallback by rebinding pk=0 at the loop call
-    # (the wrapper passes pk as the final positional argument)
+    # force the plain-argmin fallback by rebinding pk=0 at the loop call.
+    # pk must arrive as a keyword (kmeans.py passes pk=pk); if a refactor
+    # ever makes it positional, fail loudly instead of silently zeroing
+    # the wrong argument and comparing packed-vs-packed (review r4)
     def no_pack(*args, **kwargs):
-        if "pk" in kwargs:
-            kwargs["pk"] = 0
-        else:
-            args = args[:-1] + (0,)
+        assert "pk" in kwargs, "pk is no longer a kwarg: update this test"
+        kwargs["pk"] = 0
         return orig(*args, **kwargs)
     km._kmeans_loop = no_pack
     try:

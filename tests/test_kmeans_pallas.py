@@ -88,9 +88,9 @@ def test_two_reduce_variant_matches_packed(monkeypatch):
     monkeypatch.setenv("CNIIC_KMEANS_BS", "512")
     c1, a1, i1 = km.kmeans(pts, 12)
 
-    # force the two-reduce variant by faking an over-bound d2b gate:
-    # patch _drive's packed decision via a tiny d2 ceiling on pk
-    orig = km._pallas_block
+    # force the two-reduce variant: the wrapper below overrides
+    # packed=False on every kernel call (the packed single-reduce key is
+    # what's being cross-checked against)
     real_loop = kp.kmeans_loop_pallas
 
     def no_pack_loop(*args, **kwargs):

@@ -64,14 +64,17 @@ def test_overlapped_csvs_byte_identical_to_serial(tmp_path, corpus):
 
 
 def test_config_split_routes_kmeans_to_device_queue():
-    configs = ["hufman", "voronoi(8)", "cluster-colors(4)", "zip(dict)"]
-    dev = [c for c in configs if c.startswith(("cluster-colors", "voronoi"))]
-    host = [c for c in configs if c not in dev]
-    assert dev == ["voronoi(8)", "cluster-colors(4)"]
+    # assert on the module's actual splitter (review r4: an inline copy of
+    # the routing logic tested nothing)
+    dev, host = run_sweep.split_configs(
+        ["hufman", "voronoi(8)", "cluster-colors(4)", "ccol(4)",
+         "zip(dict)"])
+    assert dev == ["voronoi(8)", "cluster-colors(4)", "ccol(4)"]
     assert host == ["hufman", "zip(dict)"]
-    # the full matrix lists stay in sync with the Makefile's 22 configs
-    assert len(run_sweep.DEVICE_CONFIGS) == 11
-    assert len(run_sweep.HOST_CONFIGS) == 11
+    # default split = the full matrix lists, in sync with the Makefile's
+    # 22 configs
+    dev, host = run_sweep.split_configs()
+    assert len(dev) == 11 and len(host) == 11
 
 
 def test_failed_config_fails_the_sweep(tmp_path, corpus):
