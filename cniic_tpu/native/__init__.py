@@ -106,6 +106,8 @@ def _load() -> ctypes.CDLL:
         lib.palette_gather_rgb.restype = None
         lib.gather_i32.argtypes = [i32p, i32p, i64, i32p]
         lib.gather_i32.restype = None
+        lib.huf_tree_serialize.argtypes = [u8p, i64, i32p, u8p, i64, u8p]
+        lib.huf_tree_serialize.restype = i64
         lib.rgb_unframe.argtypes = [u8p, i64, u8p]
         lib.rgb_unframe.restype = ctypes.c_int
 
@@ -348,6 +350,22 @@ def rle_frame(rgb: np.ndarray) -> bytes:
     out = np.empty(rgb.shape[0] * 12, dtype=np.uint8)
     nbytes = lib.rle_frame(_as_u8p(rgb), rgb.shape[0], _as_u8p(out))
     return out[:nbytes].tobytes()
+
+
+def huf_tree_serialize(tags: np.ndarray, leaf_sym: np.ndarray,
+                       payloads: np.ndarray) -> bytes:
+    """Preorder tree bytes from tag sequence + leaf payload mapping."""
+    lib = _load()
+    tags = np.ascontiguousarray(tags, dtype=np.uint8)
+    leaf_sym = np.ascontiguousarray(leaf_sym, dtype=np.int32)
+    payloads = np.ascontiguousarray(payloads, dtype=np.uint8)
+    u, leaf_size = payloads.shape if payloads.ndim == 2 else (0, 0)
+    if leaf_sym.size != u:
+        raise ValueError("leaf_sym/payloads mismatch")
+    out = np.empty(tags.size + u * leaf_size, dtype=np.uint8)
+    w = lib.huf_tree_serialize(_as_u8p(tags), tags.size, _as_i32p(leaf_sym),
+                               _as_u8p(payloads), leaf_size, _as_u8p(out))
+    return out[:w].tobytes()
 
 
 def gather_i32(idx: np.ndarray, table: np.ndarray) -> np.ndarray:

@@ -1151,6 +1151,30 @@ EXPORT void palette_gather_rgb(const int32_t *ids, const uint8_t *colors,
     }
 }
 
+/* Preorder Huffman tree serialization (huf.rs:296-321 layout): per node a
+ * tag byte (1=branch, 0=leaf), leaves followed by their payload record.
+ * tags are the preorder tag sequence; leaf_sym maps the i-th preorder
+ * leaf to its payload row. One C sweep — the numpy 2-D fancy scatter this
+ * replaces cost 3.5 ms/46k-leaf tree (measured r4). Returns bytes
+ * written (n_nodes + n_leaves*leaf_size). */
+EXPORT int64_t huf_tree_serialize(const uint8_t *tags, int64_t n_nodes,
+                                  const int32_t *leaf_sym,
+                                  const uint8_t *payloads, int64_t leaf_size,
+                                  uint8_t *out) {
+    int64_t w = 0, leaf_i = 0;
+    for (int64_t i = 0; i < n_nodes; i++) {
+        uint8_t t = tags[i];
+        out[w++] = t;
+        if (t == 0) {
+            memcpy(out + w, payloads + (int64_t)leaf_sym[leaf_i] * leaf_size,
+                   (size_t)leaf_size);
+            w += leaf_size;
+            leaf_i++;
+        }
+    }
+    return w;
+}
+
 /* i32 table gather: out[i] = table[idx[i]] (the palette-id resolution of
  * the cluster-colors encoder; numpy's 1-D fancy-index ran 4 ms/MP). */
 EXPORT void gather_i32(const int32_t *idx, const int32_t *table, int64_t n,
