@@ -1072,7 +1072,8 @@ EXPORT void delta_keys(const uint8_t *scan, int64_t n, uint32_t *out) {
 }
 
 /* MSB-first bit packer (bit.rs:209-253 semantics, zero-padded tail).
- * ids index the codebook; returns bytes written. ~5 ns/symbol — measured
+ * ids index the codebook; returns bytes written. ~2-3 ns/symbol with
+ * the 64-bit block flush — measured
  * 20x the XLA segment-sum scatter path end-to-end on the bench host (TPU
  * scatters run ~30M elem/s, and the id upload disappears entirely), which
  * is why entropy coding lives on the host in this design (BENCH_NOTES.md).
