@@ -78,10 +78,20 @@ class Hilbert(Codec):
             # fused C pass (VERDICT r3 #3b): record validation + run
             # expansion + inverse-curve scatter in one sweep (replaces
             # np.repeat + separate scatter, the 38 MP/s decode floor)
+            buf = np.frombuffer(bytes(r.rest()), dtype=np.uint8)
+            # coverage pre-check BEFORE generating the curve: a corrupted
+            # header claiming huge-but-plausible dims otherwise forces
+            # O(W*H) curve generation (up to ~1 GB of indices at the
+            # 2^27-px cap) for a stream whose records can never cover it
+            # (r4 fuzz campaign; the analog of decode_stream's
+            # 1-bit/symbol floor on the delta path). Each 12-byte record
+            # covers at most 255 pixels.
+            if buf.size % 12 or (buf.size // 12) * 255 < n:
+                raise wire.WireError(
+                    f"RLE records cannot cover {w}x{h} pixels")
             try:
                 img = native.rle_unframe_scatter(
-                    np.frombuffer(bytes(r.rest()), dtype=np.uint8),
-                    hilbert.scan_indices(w, h))
+                    buf, hilbert.scan_indices(w, h))
             except ValueError as e:
                 raise wire.WireError(str(e))
             return img.reshape(h, w, 3)
