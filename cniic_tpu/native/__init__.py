@@ -81,9 +81,14 @@ def _load() -> ctypes.CDLL:
         lib.huf_decode_fast.argtypes = lib.huf_decode.argtypes
         lib.huf_decode_fast.restype = i64
 
-        for name in ("zip_dict_encode", "zip_dict_decode", "zip_back_encode", "zip_back_decode"):
+        for name in ("zip_dict_encode", "zip_back_encode"):
             fn = getattr(lib, name)
             fn.argtypes = [u8p, i64, ctypes.POINTER(u8p), ctypes.POINTER(i64)]
+            fn.restype = ctypes.c_int
+        for name in ("zip_dict_decode", "zip_back_decode"):
+            fn = getattr(lib, name)
+            fn.argtypes = [u8p, i64, ctypes.POINTER(u8p),
+                           ctypes.POINTER(i64), i64]
             fn.restype = ctypes.c_int
 
         lib.approx_rle_encode.argtypes = [u8p, i64, ctypes.c_double, u8p, u8p]
@@ -274,12 +279,26 @@ def rle_unframe_scatter(recs: np.ndarray, perm: np.ndarray) -> np.ndarray:
     return out
 
 
-def _roundtrip_call(name: str, data) -> bytes:
+# absolute wire-format maximum any legitimate zipc stream decodes to:
+# 8 dim bytes + 11 bytes/pixel at the framework's 2^27-pixel cap. A
+# crafted LZ78/LZ77 stream can otherwise demand unbounded output from a
+# few hundred input bytes (r4 fuzz audit).
+_ZIP_MAX_OUT = 8 + 11 * (1 << 27)
+
+
+def _roundtrip_call(name: str, data, max_out: int | None = None) -> bytes:
     lib = _load()
     arr = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
     out_p = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_int64()
-    rc = getattr(lib, name)(_as_u8p(arr), arr.size, ctypes.byref(out_p), ctypes.byref(out_len))
+    args = [_as_u8p(arr), arr.size, ctypes.byref(out_p),
+            ctypes.byref(out_len)]
+    if max_out is not None:
+        args.append(int(max_out))
+    rc = getattr(lib, name)(*args)
+    if rc == -2:
+        raise ValueError(f"{name}: decoded stream exceeds the "
+                         f"{max_out}-byte cap")
     if rc != 0:
         raise ValueError(f"{name} failed ({rc})")
     try:
@@ -292,16 +311,16 @@ def zip_dict_encode(data) -> bytes:
     return _roundtrip_call("zip_dict_encode", data)
 
 
-def zip_dict_decode(data) -> bytes:
-    return _roundtrip_call("zip_dict_decode", data)
+def zip_dict_decode(data, max_out: int = _ZIP_MAX_OUT) -> bytes:
+    return _roundtrip_call("zip_dict_decode", data, max_out)
 
 
 def zip_back_encode(data) -> bytes:
     return _roundtrip_call("zip_back_encode", data)
 
 
-def zip_back_decode(data) -> bytes:
-    return _roundtrip_call("zip_back_decode", data)
+def zip_back_decode(data, max_out: int = _ZIP_MAX_OUT) -> bytes:
+    return _roundtrip_call("zip_back_decode", data, max_out)
 
 
 def hist_u32(keys: np.ndarray):

@@ -572,7 +572,13 @@ EXPORT int zip_dict_encode(const uint8_t *in, int64_t n,
 }
 
 EXPORT int zip_dict_decode(const uint8_t *in, int64_t n,
-                           uint8_t **out, int64_t *out_len) {
+                           uint8_t **out, int64_t *out_len,
+                           int64_t max_out) {
+    /* max_out > 0 caps the decoded size: LZ78 pair expansion doubles per
+     * 4-byte input pair, so a ~150-byte crafted stream otherwise forces
+     * multi-GB allocations before any validity check can fire (r4 fuzz
+     * audit). Callers pass the wire-format maximum their context allows.
+     * Returns -2 when the cap is exceeded. */
     /* mapping: symbol -> (offset, len) into the decoded output itself.
      * Single-byte symbols use offset -1-byte as a sentinel. */
     int64_t *offs = (int64_t *)malloc(65536 * sizeof(int64_t));
@@ -598,6 +604,9 @@ EXPORT int zip_dict_decode(const uint8_t *in, int64_t n,
         int64_t start = b.len;
 
         int64_t o1 = offs[s1], l1 = lens[s1];
+        if (max_out > 0 && b.len + l1 + lens[s2] > max_out) {
+            ok = -2; break;
+        }
         if (!buf_reserve(&b, l1 + lens[s2])) { ok = 0; break; }
         if (o1 <= -2) {
             b.data[b.len++] = (uint8_t)(-o1 - 2);
@@ -620,7 +629,7 @@ EXPORT int zip_dict_decode(const uint8_t *in, int64_t n,
     }
     free(offs);
     free(lens);
-    if (!ok) { free(b.data); return -1; }
+    if (ok != 1) { free(b.data); return ok == -2 ? -2 : -1; }
     *out = b.data;
     *out_len = b.len;
     return 0;
@@ -965,10 +974,13 @@ EXPORT int zip_back_encode(const uint8_t *in, int64_t n,
 }
 
 EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
-                           uint8_t **out, int64_t *out_len) {
+                           uint8_t **out, int64_t *out_len,
+                           int64_t max_out) {
     /* The decode history is always the already-decoded output prefix, so
      * lookbacks copy straight out of the output buffer (len <= back, so the
-     * source region never overlaps the destination). */
+     * source region never overlaps the destination). max_out > 0 caps the
+     * decoded size (lookback copies expand up to ~8000x the input; see
+     * zip_dict_decode) — returns -2 when exceeded. */
     Buf b;
     if (!buf_init(&b, n * 2 + 64)) return -1;
     int64_t pos = 0;
@@ -983,16 +995,18 @@ EXPORT int zip_back_decode(const uint8_t *in, int64_t n,
             pos += 2;
             int64_t start = b.len - (int64_t)back;
             if (start < 0 || len > (int64_t)back) { ok = 0; break; }
+            if (max_out > 0 && b.len + len > max_out) { ok = -2; break; }
             if (!buf_reserve(&b, len)) { ok = 0; break; }
             memcpy(b.data + b.len, b.data + start, (size_t)len);
             b.len += len;
         } else {
             if (pos + len > n) { ok = 0; break; }
+            if (max_out > 0 && b.len + len > max_out) { ok = -2; break; }
             if (!buf_push_all(&b, in + pos, len)) { ok = 0; break; }
             pos += len;
         }
     }
-    if (!ok) { free(b.data); return -1; }
+    if (ok != 1) { free(b.data); return ok == -2 ? -2 : -1; }
     *out = b.data;
     *out_len = b.len;
     return 0;

@@ -115,3 +115,56 @@ def test_fuzz_decode(spec, scale):
     # sanity: the harness must have actually exercised both outcomes
     assert outcomes["raised"] > 0, "no mutation was ever rejected"
     assert _check(codec, bytes(data)) == "ok", "unmutated stream must decode"
+
+
+def test_zip_bomb_streams_rejected_bounded():
+    """LZ78/LZ77 expansion bombs must die at the output cap, not after
+    multi-GB allocations (r4 fuzz audit). A doubling zip-dict pair chain
+    and a doubling zip-back lookback chain are decoded with a small
+    explicit cap to prove the bound binds early."""
+    from cniic_tpu import native
+
+    # zip-dict bomb: (97,97) makes symbol 0x100 = "aa"; every following
+    # pair (s,s) doubles the newest symbol's expansion
+    pairs = [(97, 97)] + [(0x100 + i, 0x100 + i) for i in range(30)]
+    bomb = b"".join(a.to_bytes(2, "little") + b.to_bytes(2, "little")
+                    for a, b in pairs)
+    with pytest.raises(ValueError):
+        native.zip_dict_decode(bomb, max_out=10_000)
+
+    # zip-back bomb: 6 explicit bytes, then lookbacks that double the
+    # output (len = back = current length)
+    out = bytearray((6).to_bytes(2, "little") + b"abcdef")
+    ln = 6
+    for _ in range(20):
+        cl = min(ln, 32767)
+        out += (0x8000 | cl).to_bytes(2, "little") + cl.to_bytes(2, "little")
+        ln += cl
+    with pytest.raises(ValueError):
+        native.zip_back_decode(bytes(out), max_out=10_000)
+
+    # the codec-level default cap also rejects them (zipc path)
+    from cniic_tpu import wire
+    from cniic_tpu.codecs import from_spec
+
+    big = b"".join(a.to_bytes(2, "little") + b.to_bytes(2, "little")
+                   for a, b in [(97, 97)] + [(0x100 + i, 0x100 + i)
+                                             for i in range(48)])
+    with pytest.raises((ValueError, wire.WireError)):
+        from_spec("zip(dict)").decode(big)
+
+
+def test_hilbert_rle_huge_dims_rejected_fast():
+    """A tiny RLE payload claiming huge-but-plausible dims must be
+    rejected BEFORE curve generation (r4 fuzz campaign: the curve for a
+    2^27-px claim costs ~1 GB of indices)."""
+    import time
+
+    from cniic_tpu import wire
+    from cniic_tpu.codecs import from_spec
+
+    blob = wire.pack_dims(16000, 8000) + b"\x05" + wire.pack_rgb(1, 2, 3)
+    t0 = time.perf_counter()
+    with pytest.raises(wire.WireError):
+        from_spec("hilbert(rle)").decode(blob)
+    assert time.perf_counter() - t0 < 0.5, "rejection generated the curve"
