@@ -82,7 +82,7 @@ def measure_all(codec: Codec, paths, output_dir: str = "output",
                     # a crash mid-write leaves a short/garbled final line;
                     # treat that image as not-done and re-bench it rather
                     # than making --resume unusable on interrupted runs
-                    corrupt = bool(row)
+                    corrupt = corrupt or bool(row)
                     continue
                 done.add(row[0])
                 res.rows.append(parsed)

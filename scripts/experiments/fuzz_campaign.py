@@ -83,8 +83,12 @@ def main() -> int:
                 streams.append(np.frombuffer(codec.encode(img), np.uint8))
             except ValueError:
                 pass  # e.g. k-means floor on tiny images — fine
+        if not streams:
+            print(f"{spec}: no encodable sources, skipping", flush=True)
+            continue
         t0 = time.time()
         trials = 0
+        family_findings0 = findings
         while time.time() - t0 < budget:
             data = streams[rng.integers(0, len(streams))]
             blob = mutate(rng, data)
@@ -108,8 +112,9 @@ def main() -> int:
                 print(f"FINDING {spec}: malformed decode output "
                       f"{type(out)}", flush=True)
                 findings += 1
+        fam = findings - family_findings0
         print(f"{spec}: {trials} mutated streams, "
-              f"{'CLEAN' if not findings else f'{findings} finding(s)'}",
+              f"{'CLEAN' if not fam else f'{fam} finding(s)'}",
               flush=True)
     print(f"campaign done: {findings} finding(s)")
     return 1 if findings else 0
