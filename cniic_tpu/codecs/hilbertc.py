@@ -43,15 +43,21 @@ class Hilbert(Codec):
 
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
-        scan = hilbert.linearize(img)
         header = wire.pack_dims(w, h)
+        if self.mode == "rle" and self.allow == 0.0:
+            # one fused C pass over the raw image: curve gather + RLE +
+            # record framing + header placement (identical bytes to
+            # rle_frame(gather_rgb(...)), test-pinned) — skips the 3n-byte
+            # scan materialization and the payload concat copy
+            if img.dtype == np.uint8 and img.shape[2] == 3:
+                return native.rle_frame_gather(
+                    img.reshape(h * w, 3), hilbert.scan_indices(w, h),
+                    prefix=header)
+            return header + native.rle_frame(hilbert.linearize(img))
+        scan = hilbert.linearize(img)
         if self.mode == "zip":
             framed = wire.rgb_stream_to_wire(scan)
             return header + native.zip_dict_encode(framed)
-        if self.allow == 0.0:
-            # fused C pass: RLE + record framing in one sweep (identical
-            # records to ops.rle.rle_exact + _records_to_bytes, test-pinned)
-            return header + native.rle_frame(scan)
         import os
 
         if (os.environ.get("CNIIC_CHUNKED_RLE", "") == "1"

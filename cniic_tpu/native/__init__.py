@@ -102,6 +102,8 @@ def _load() -> ctypes.CDLL:
 
         lib.rle_frame.argtypes = [u8p, i64, u8p]
         lib.rle_frame.restype = i64
+        lib.rle_frame_gather.argtypes = [u8p, i64p0, i64, u8p]
+        lib.rle_frame_gather.restype = i64
 
         lib.rgb_frame.argtypes = [u8p, i64, u8p]
         lib.rgb_frame.restype = None
@@ -369,6 +371,28 @@ def rle_frame(rgb: np.ndarray) -> bytes:
     out = np.empty(rgb.shape[0] * 12, dtype=np.uint8)
     nbytes = lib.rle_frame(_as_u8p(rgb), rgb.shape[0], _as_u8p(out))
     return out[:nbytes].tobytes()
+
+
+def rle_frame_gather(rgb: np.ndarray, perm: np.ndarray,
+                     prefix: bytes = b"") -> bytes:
+    """Exact-RLE records over rgb[perm[i]] in one fused sweep (identical
+    bytes to rle_frame(gather_rgb(rgb, perm))); `prefix` (e.g. the dims
+    header) is written in front of the records so the caller skips a
+    whole-payload concat copy."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(-1, 3)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    if perm.size and (rgb.shape[0] == 0 or int(perm.max()) >= rgb.shape[0]
+                      or int(perm.min()) < 0):
+        raise ValueError("perm indices out of range")
+    p = len(prefix)
+    out = np.empty(p + perm.size * 12, dtype=np.uint8)
+    if p:
+        out[:p] = np.frombuffer(prefix, dtype=np.uint8)
+    nbytes = lib.rle_frame_gather(
+        _as_u8p(rgb), perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        perm.size, out[p:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[: p + nbytes].tobytes()
 
 
 def huf_tree_serialize(tags: np.ndarray, leaf_sym: np.ndarray,

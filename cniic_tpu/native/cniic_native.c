@@ -1148,6 +1148,92 @@ EXPORT int64_t rle_frame(const uint8_t *rgb, int64_t n, uint8_t *out) {
     return w;
 }
 
+/* rle_frame fused with the curve gather: RLE directly over rgb[perm[i]]
+ * instead of materializing the 3n-byte scan first (gather_rgb + rle_frame
+ * wrote and re-read it; this reads the image once — the scan locality of
+ * the curve keeps the random reads cache-resident). Byte-identical output
+ * to rle_frame(gather_rgb(rgb, perm)) by construction (same record loop,
+ * hilbertc.rs:115-196 + ser.rs:210-222); pinned by tests. */
+EXPORT int64_t rle_frame_gather(const uint8_t *rgb, const int64_t *perm,
+                                int64_t n, uint8_t *out) {
+    if (n <= 0) return 0;
+    /* stage 1: gather the scan into a private buffer with 5 bytes of
+     * sentinel slack so stage 2 can use unaligned u32 loads (1 load + 1
+     * compare per pixel vs 3+3 byte-wise — ~2x the whole leg, measured) */
+    uint8_t *scan = (uint8_t *)malloc((size_t)(3 * n + 8));
+    if (!scan) {
+        /* fallback: byte-wise compares straight off the image */
+        int64_t w = 0, i = 0;
+        while (i < n) {
+            const uint8_t *p = rgb + 3 * perm[i];
+            uint8_t r = p[0], g = p[1], b = p[2];
+            int64_t j = i + 1;
+            for (; j < n; j++) {
+                const uint8_t *q = rgb + 3 * perm[j];
+                if (q[0] != r || q[1] != g || q[2] != b) break;
+            }
+            int64_t len = j - i;
+            while (len > 0) {
+                int64_t c = len > 255 ? 255 : len;
+                out[w] = (uint8_t)c;
+                out[w + 1] = 3;
+                memset(out + w + 2, 0, 7);
+                out[w + 9] = r;
+                out[w + 10] = g;
+                out[w + 11] = b;
+                w += 12;
+                len -= c;
+            }
+            i = j;
+        }
+        return w;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *s = rgb + 3 * perm[i];
+        uint8_t *d = scan + 3 * i;
+        d[0] = s[0];
+        d[1] = s[1];
+        d[2] = s[2];
+    }
+    /* sentinel pixel != last pixel ends the final run exactly at n */
+    scan[3 * n] = (uint8_t)(scan[3 * n - 3] + 1);
+    scan[3 * n + 1] = 0;
+    scan[3 * n + 2] = 0;
+    scan[3 * n + 3] = 0;
+    scan[3 * n + 4] = 0;
+
+    int64_t w = 0, i = 0;
+    while (i < n) {
+        uint32_t cur;
+        memcpy(&cur, scan + 3 * i, 4);
+        cur &= 0xFFFFFFu;
+        int64_t j = i + 1;
+        for (;;) {
+            uint32_t v;
+            memcpy(&v, scan + 3 * j, 4);
+            if ((v & 0xFFFFFFu) != cur) break;
+            j++;
+        }
+        int64_t len = j - i;
+        uint8_t r = (uint8_t)cur, g = (uint8_t)(cur >> 8),
+                b = (uint8_t)(cur >> 16);
+        while (len > 0) {
+            int64_t c = len > 255 ? 255 : len;
+            out[w] = (uint8_t)c;
+            out[w + 1] = 3;
+            memset(out + w + 2, 0, 7);
+            out[w + 9] = r;
+            out[w + 10] = g;
+            out[w + 11] = b;
+            w += 12;
+            len -= c;
+        }
+        i = j;
+    }
+    free(scan);
+    return w;
+}
+
 /* RGB palette gather: out[i] = colors[ids[i]] for (u, 3) u8 colors.
  * numpy's row fancy-index ran at 13 ms/MP — 40% of the whole hufman
  * decode (measured r4); this loop streams it in ~2 ms. ids must be

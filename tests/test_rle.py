@@ -91,3 +91,29 @@ def test_native_rle_frame_matches_oracle():
     for scan in cases:
         counts, colors = rle.rle_exact(scan)
         assert _records_to_bytes(counts, colors) == native.rle_frame(scan)
+
+
+def test_native_rle_frame_gather_matches_unfused():
+    """rle_frame_gather (curve gather + u32-compare RLE + framing + header
+    in one C pass, the r5 hilbert-rle encode path) must be byte-identical to
+    rle_frame(gather_rgb(...)) on every permutation and content class,
+    including the sentinel edge (a run ending at the last pixel with R=255,
+    where the internal sentinel byte wraps)."""
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 4, (5000, 3)).astype(np.uint8),
+        rng.integers(0, 256, (3000, 3)).astype(np.uint8),
+        np.full((700, 3), 255, np.uint8),  # sentinel wrap edge
+        np.zeros((1, 3), np.uint8),
+        np.repeat(np.array([[9, 8, 7]], np.uint8), 511, axis=0),
+    ]
+    for flat in cases:
+        n = flat.shape[0]
+        perm = rng.permutation(n).astype(np.int64)
+        want = b"HD" + native.rle_frame(native.gather_rgb(flat, perm))
+        got = native.rle_frame_gather(flat, perm, prefix=b"HD")
+        assert got == want
+    # out-of-range permutation is rejected, not read
+    import pytest
+    with pytest.raises(ValueError):
+        native.rle_frame_gather(cases[0], np.array([0, 5000], np.int64))
