@@ -45,16 +45,22 @@ synth-4k:
 textured-corpus:
 	python scripts/make_synth_corpus.py data/textured 12 --textured
 
+# Proxy-tuned corpus (VERDICT r4 #4): textured statistics at brightness
+# 0.80 so the grid-cell-variance proxy (~3,000-3,300) lands the voronoi
+# codec inside the reference chart's 4,200-6,500 MSE band
+midtex-corpus:
+	python scripts/make_synth_corpus.py data/midtex 12 --midtex
+
 # Whole-matrix sweep with the device/host overlapped driver (VERDICT r3
 # #7: measured 1.39x over serial on the textured matrix, CSVs identical)
 sweep-overlapped:
-	python scripts/run_sweep.py --batch=4 --out=output $(DATASET)
+	python scripts/run_sweep.py --batch=8 --out=output $(DATASET)
 
 LOSSLESS_DIAGRAM = output/boxplot.png
 LOSSY_DIAGRAM = output/error_vs_compression.png
 TRACKED_DIAGRAMS = lossy_status.png lossless_status.png
 
-RUN = python -m cniic_tpu --batch=4
+RUN = python -m cniic_tpu --batch=8
 DATASET = data/DIV2K_valid_HR/*
 
 LOSSLESS_CODECS = $(HUFMAN) $(ZIP_DICT) $(ZIP_BACK_CP) $(HILBERT)
@@ -148,4 +154,4 @@ asan-fuzz:
 	    python -m pytest tests/test_fuzz_decode.py -q \
 	    -k "not cluster and not voronoi"
 
-.PHONY: all clean diagrams synth-corpus synth-4k textured-corpus sweep-overlapped test bench asan-fuzz
+.PHONY: all clean diagrams synth-corpus synth-4k textured-corpus midtex-corpus sweep-overlapped test bench asan-fuzz

@@ -54,20 +54,23 @@ def synth_image(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-# (spec, image side, images) — uniform 1024^2 x 4 across all nine configs
-# (VERDICT r2 #8: the old suite shrank the zip configs to 512^2 x 2, which
-# made their numbers incomparable with the rest; r3 geomeans therefore have
-# a one-time discontinuity vs r2 — noted in BENCH_NOTES.md)
+# (spec, image side, images) — uniform 1024^2 x 8 across all nine configs
+# (VERDICT r2 #8 fixed the mixed-shape suite; r5 raises the uniform image
+# count 4 -> 8 after the depth study (VERDICT r4 #2): 8 lanes is
+# cluster-colors' measured optimum (+35%, 15.0 -> 20.3 MP/s over a fixed
+# 32-image workload) and voronoi is depth-insensitive now that it chunks
+# its lanes at its own optimum internally (ops/kmeans.py). Geomeans have a
+# one-time r4->r5 discontinuity from the count change — BENCH_NOTES.md.)
 SUITE = [
-    ("hufman", 1024, 4),
-    ("delta", 1024, 4),
-    ("hilbert(rle)", 1024, 4),
-    ("hilbert(rle(4))", 1024, 4),
-    ("cluster-colors(32)", 1024, 4),
-    ("voronoi(128)", 1024, 4),
-    ("hilbert(zip)", 1024, 4),
-    ("zip(dict)", 1024, 4),
-    ("zip(back)", 1024, 4),
+    ("hufman", 1024, 8),
+    ("delta", 1024, 8),
+    ("hilbert(rle)", 1024, 8),
+    ("hilbert(rle(4))", 1024, 8),
+    ("cluster-colors(32)", 1024, 8),
+    ("voronoi(128)", 1024, 8),
+    ("hilbert(zip)", 1024, 8),
+    ("zip(dict)", 1024, 8),
+    ("zip(back)", 1024, 8),
 ]
 
 TRIALS = 5

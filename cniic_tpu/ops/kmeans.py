@@ -669,7 +669,26 @@ def kmeans_batch(points_list, k: int, weights_list=None,
     PLACE of the result tuple instead of aborting the whole batch (the
     runner's per-image continue-on-error then isolates that image,
     mirroring the reference panic's per-image blast radius).
+
+    Batches deeper than CNIIC_KMEANS_LANES (default 8) run as consecutive
+    lane chunks: per-lane trajectories are independent (lanes freeze on
+    their own stop rule), so results are bit-identical to any chunking,
+    while VMEM stays bounded — at 16 unchunked lanes the fused kernel's
+    B-scaled loop state overflows the 16 MB scoped-vmem budget (measured
+    r5), and the depth study found deeper lockstep is *slower* anyway
+    (stragglers drive every lane's iteration count; BENCH_NOTES r5).
     """
+    max_lanes = int(os.environ.get("CNIIC_KMEANS_LANES", "8"))
+    if len(points_list) > max_lanes > 0:
+        if weights_list is None:
+            weights_list = [None] * len(points_list)
+        out = []
+        for i in range(0, len(points_list), max_lanes):
+            out.extend(kmeans_batch(
+                points_list[i:i + max_lanes], k,
+                weights_list[i:i + max_lanes],
+                max_iters=max_iters, on_error=on_error))
+        return out
     if on_error == "collect":
         keep, errs = [], {}
         if weights_list is None:
@@ -809,6 +828,29 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     B, h, w, _ = imgs.shape
     n = h * w
+    # megapixel point sets: 4 lanes is the measured optimum (r5 depth
+    # study over a fixed 32-image workload: 5.51 MP/s at 4 lanes vs 5.29/
+    # 4.88/4.41 at 8/16/32 — deeper batches shrink the Pallas point block
+    # under the B*k*bs VMEM cap and add lockstep straggler iterations).
+    # CNIIC_KMEANS_LANES overrides; results are bit-identical under any
+    # chunking (lanes are independent; pinned by tests).
+    max_lanes = int(os.environ.get("CNIIC_KMEANS_LANES", "4"))
+    if B > max_lanes > 0:
+        outs, devs = [], []
+        for i in range(0, B, max_lanes):
+            r = voronoi_centroids_batch(
+                imgs[i:i + max_lanes], k, max_iters=max_iters,
+                on_error=on_error, return_device_imgs=return_device_imgs)
+            if return_device_imgs:
+                outs.extend(r[0])
+                devs.append(r[1])
+            else:
+                outs.extend(r)
+        if return_device_imgs:
+            devs = [d for d in devs if d is not None]
+            dev = jnp.concatenate(devs, axis=0) if devs else None
+            return outs, dev
+        return outs
     try:
         if n < k:
             raise ValueError(f"k-means needs at least k points ({n} < {k})")

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""North-star measurement at its own scale (VERDICT r4 #1; BASELINE.md).
+
+BASELINE's target is >=50x the Rust single-core encode throughput (MP/s)
+over a **1000-image corpus** — but every recorded bench ran 4 images x 5
+trials, where the ~0.2 s tunnel burst latency and per-run dispatch are an
+unamortized slice of every number. This measures steady-state throughput
+at corpus scale: all nine codecs over `data/ns1000` (or any glob), deep
+batches through the production encode_batch paths, PNG decode outside the
+timed region (the bench.py convention), decode + round-trip verification
+untimed but enforced on every image.
+
+Chunk-outer / codec-inner: each chunk of images is loaded once and pushed
+through all nine codecs, so corpus IO is paid once, and per-codec encode
+seconds accumulate across chunks (steady state = total MP / total encode
+seconds after a one-chunk warmup). Progress checkpoints to
+<out>.ckpt.json after every chunk; --resume continues a killed run.
+
+Usage:
+  python scripts/experiments/northstar.py [--chunk=32] [--out=NORTHSTAR_r05.json]
+         [--resume] <pngs...>
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from cniic_tpu import image_io  # noqa: E402
+from cniic_tpu.codecs import from_spec  # noqa: E402
+from cniic_tpu.runner import compute_error  # noqa: E402
+
+SPECS = ["hufman", "delta", "hilbert(rle)", "hilbert(rle(4))",
+         "cluster-colors(32)", "voronoi(128)", "hilbert(zip)", "zip(dict)",
+         "zip(back)"]
+
+
+def _paths_sha(paths) -> str:
+    return hashlib.sha256("\n".join(paths).encode()).hexdigest()[:16]
+
+
+def _geomean(vals):
+    vals = list(vals)
+    return math.exp(sum(math.log(v) for v in vals) / len(vals)) if vals else 0.0
+
+
+def main() -> int:
+    chunk = 32
+    out_path = "NORTHSTAR_r05.json"
+    resume = False
+    paths = []
+    for a in sys.argv[1:]:
+        if a.startswith("--chunk="):
+            chunk = int(a.split("=", 1)[1])
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+        elif a == "--resume":
+            resume = True
+        else:
+            paths.extend(sorted(globlib.glob(a)) or [a])
+    if not paths:
+        print(__doc__, file=sys.stderr)
+        return 1
+    paths = sorted(paths)
+    ckpt_path = out_path + ".ckpt.json"
+
+    codecs = [from_spec(s) for s in SPECS]
+    acc = {c.name: {"mp": 0.0, "enc_s": 0.0, "dec_s": 0.0, "bytes": 0,
+                    "mse_sum": 0.0, "images": 0} for c in codecs}
+    start_chunk = 0
+    if resume and os.path.exists(ckpt_path):
+        with open(ckpt_path) as fh:
+            ck = json.load(fh)
+        if ck.get("paths_sha") == _paths_sha(paths):
+            acc = ck["acc"]
+            start_chunk = ck["next_chunk"]
+            print(f"resuming at chunk {start_chunk}", flush=True)
+
+    groups = [paths[i:i + chunk] for i in range(0, len(paths), chunk)]
+    t_start = time.time()
+
+    # warmup: compile every codec's batch shapes on the first chunk
+    # (untimed; the steady-state claim must not include compiles)
+    warm = [image_io.load_image(p) for p in groups[0]]
+    for codec in codecs:
+        codec.encode_batch(warm[: min(8, len(warm))])
+    print(f"warmup done ({time.time()-t_start:.0f}s)", flush=True)
+
+    for gi in range(start_chunk, len(groups)):
+        imgs = [image_io.load_image(p) for p in groups[gi]]
+        mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+        for codec in codecs:
+            a = acc[codec.name]
+            for attempt in range(3):
+                try:
+                    t0 = time.perf_counter()
+                    blobs = codec.encode_batch(imgs)
+                    enc_s = time.perf_counter() - t0
+
+                    t0 = time.perf_counter()
+                    fused = getattr(codec, "decode_mse_batch", None)
+                    if fused is not None:
+                        errs, _ = fused(blobs, imgs)
+                    else:
+                        decs = codec.decode_batch(blobs)
+                        errs = [compute_error(im, de)
+                                for im, de in zip(imgs, decs)]
+                    dec_s = time.perf_counter() - t0
+                    break
+                except Exception as e:
+                    print(f"chunk {gi} {codec.name} attempt {attempt}: {e!r}",
+                          flush=True)
+                    if attempt == 2:
+                        raise
+                    time.sleep(20)
+            if codec.is_lossless and any(e != 0.0 for e in errs):
+                print(f"FATAL: {codec.name} round-trip failed in chunk {gi}")
+                return 1
+            a["mp"] += mp
+            a["enc_s"] += enc_s
+            a["dec_s"] += dec_s
+            a["bytes"] += sum(len(b) for b in blobs)
+            a["mse_sum"] += float(np.sum(errs))
+            a["images"] += len(imgs)
+        done_mp = acc[codecs[0].name]["mp"]
+        line = " ".join(
+            f"{c.name}:{acc[c.name]['mp']/max(acc[c.name]['enc_s'],1e-9):.1f}"
+            for c in codecs)
+        print(f"chunk {gi+1}/{len(groups)} ({done_mp:.0f} MP) enc MP/s {line}",
+              flush=True)
+        with open(ckpt_path + ".tmp", "w") as fh:
+            json.dump({"acc": acc, "next_chunk": gi + 1,
+                       "paths_sha": _paths_sha(paths)}, fh)
+        os.replace(ckpt_path + ".tmp", ckpt_path)
+
+    baseline = {}
+    bl_path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "BASELINE_HOST.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as fh:
+            baseline = json.load(fh)["per_codec"]
+
+    enc = {n: a["mp"] / a["enc_s"] for n, a in acc.items()}
+    dec = {n: a["mp"] / a["dec_s"] for n, a in acc.items()}
+    vs = {n: enc[n] / baseline[n]["encode_mps"] for n in enc if n in baseline}
+    out = {
+        "metric": "northstar_corpus_steady_state",
+        "corpus": {"images": len(paths), "chunk": chunk,
+                   "total_mp": round(acc[codecs[0].name]["mp"], 1)},
+        "encode_geomean_mps": round(_geomean(enc.values()), 3),
+        "decode_geomean_mps": round(_geomean(dec.values()), 3),
+        "vs_baseline": round(_geomean(vs.values()), 3) if len(vs) == len(enc)
+        else None,
+        "per_codec_mps": {k: round(v, 3) for k, v in enc.items()},
+        "per_codec_decode_mps": {k: round(v, 3) for k, v in dec.items()},
+        "per_codec_vs_host": {k: round(v, 2) for k, v in vs.items()},
+        "per_codec_mean_ratio_pct": {
+            n: round(a["bytes"] / (a["mp"] * 1e6 * 24) * 100, 3)
+            for n, a in acc.items()},
+        "per_codec_mean_mse": {
+            n: round(a["mse_sum"] / max(a["images"], 1), 2)
+            for n, a in acc.items()},
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

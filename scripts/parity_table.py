@@ -82,13 +82,17 @@ def main():
                 (f"size {expect} B exact: ratio parity BY CONSTRUCTION"
                  if size_ok else f"SIZE MISMATCH (expect {expect} B)")
                 + f"; chart MSE {elo}-{ehi}  "
-                + ("IN RANGE" if eok else "OUTSIDE"))
+                + ("IN BAND (strict)" if elo <= err <= ehi else
+                   "IN RANGE (2x slack)" if eok else "OUTSIDE"))
         elif family in LOSSY_CHART:
             (rlo, rhi), (elo, ehi) = LOSSY_CHART[family]
             rok = rlo * 0.5 <= ratio <= rhi * 2  # family-range, 2x slack
             eok = elo * 0.5 <= err <= ehi * 2
+            strict = rlo <= ratio <= rhi and elo <= err <= ehi
             verdict = (f"family ratio {rlo}-{rhi}%, MSE {elo}-{ehi}  "
-                       + ("IN RANGE" if rok and eok else "OUTSIDE"))
+                       + ("IN BAND (strict)" if strict else
+                          "IN RANGE (2x slack)" if rok and eok else
+                          "OUTSIDE"))
         rows.append((name, n, ratio, err, verdict))
 
     print(f"| codec | imgs | mean ratio % | mean MSE | vs BASELINE.md chart |")

@@ -361,3 +361,23 @@ def test_voronoi_wide_image_path():
                            imgs[0].reshape(-1, 3)]).astype(np.int64)
     c2, _, _ = kmeans.kmeans(pts, 4)
     np.testing.assert_array_equal(cents, c2)
+
+
+def test_kmeans_batch_lane_chunking_bit_identical():
+    """Batches deeper than CNIIC_KMEANS_LANES run as consecutive chunks
+    (r5: 16 unchunked lanes overflow the fused kernel's scoped VMEM);
+    centroids and assignments must be identical under any chunking — only
+    the reported lockstep iteration count is grouping-dependent."""
+    import os
+
+    rng = np.random.default_rng(0)
+    pts = [rng.integers(0, 256, (200 + 7 * i, 3)) for i in range(13)]
+    a = kmeans.kmeans_batch(pts, 8)  # default chunk 8 -> [8, 5]
+    os.environ["CNIIC_KMEANS_LANES"] = "4"
+    try:
+        b = kmeans.kmeans_batch(pts, 8)  # chunks [4, 4, 4, 1]
+    finally:
+        os.environ.pop("CNIIC_KMEANS_LANES", None)
+    for (c1, a1, _), (c2, a2, _) in zip(a, b):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(a1, a2)
