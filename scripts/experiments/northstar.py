@@ -153,6 +153,18 @@ def main() -> int:
     enc = {n: a["mp"] / a["enc_s"] for n, a in acc.items()}
     dec = {n: a["mp"] / a["dec_s"] for n, a in acc.items()}
     vs = {n: enc[n] / baseline[n]["encode_mps"] for n in enc if n in baseline}
+    # Two readings of BASELINE.md's ">=50x ... across all nine codecs":
+    # (a) geomean of per-codec speedups (the bench.py convention) and
+    # (b) the whole-suite wall-clock ratio — the time to encode the corpus
+    #     through ALL nine codecs here vs the measured single-core host
+    #     doing the same sweep (the reference's own protocol: one binary
+    #     run per codec over the corpus, Makefile:29-44). The host suite is
+    #     dominated by voronoi's ~0.005 MP/s leg, which is exactly why the
+    #     reference needs .bak caching for its multi-hour runs.
+    total_mp = acc[codecs[0].name]["mp"]
+    suite_s = sum(a["enc_s"] for a in acc.values())
+    host_suite_s = (sum(total_mp / baseline[n]["encode_mps"] for n in enc)
+                    if len(vs) == len(enc) else None)
     out = {
         "metric": "northstar_corpus_steady_state",
         "corpus": {"images": len(paths), "chunk": chunk,
@@ -161,6 +173,11 @@ def main() -> int:
         "decode_geomean_mps": round(_geomean(dec.values()), 3),
         "vs_baseline": round(_geomean(vs.values()), 3) if len(vs) == len(enc)
         else None,
+        "suite_encode_s": round(suite_s, 1),
+        "host_suite_encode_s_est": (round(host_suite_s, 1)
+                                    if host_suite_s else None),
+        "suite_wallclock_vs_host": (round(host_suite_s / suite_s, 1)
+                                    if host_suite_s else None),
         "per_codec_mps": {k: round(v, 3) for k, v in enc.items()},
         "per_codec_decode_mps": {k: round(v, 3) for k, v in dec.items()},
         "per_codec_vs_host": {k: round(v, 2) for k, v in vs.items()},

@@ -99,7 +99,11 @@ def main():
         elif a.startswith("--configs="):
             configs = a[len("--configs="):].split(",")
         else:
-            paths.append(a)
+            # expand globs ourselves so a quoted 'data/x/*.png' (or a
+            # caller that skips the shell) works the same as unquoted
+            import glob as globlib
+
+            paths.extend(sorted(globlib.glob(a)) or [a])
     if not paths:
         print(__doc__, file=sys.stderr)
         return 1
