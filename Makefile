@@ -51,6 +51,12 @@ textured-corpus:
 midtex-corpus:
 	python scripts/make_synth_corpus.py data/midtex 12 --midtex
 
+# North-star corpus: 1000 mixed-statistics 1024^2 images (40% natural /
+# 30% gradient+patch / 30% textured) at BASELINE.md's specified scale —
+# per-index seeded, so a killed generation resumes (VERDICT r4 #1)
+ns-corpus:
+	python scripts/make_synth_corpus.py data/ns1000 1000 --ns
+
 # Whole-matrix sweep with the device/host overlapped driver (VERDICT r3
 # #7: measured 1.39x over serial on the textured matrix, CSVs identical)
 sweep-overlapped:
@@ -154,4 +160,4 @@ asan-fuzz:
 	    python -m pytest tests/test_fuzz_decode.py -q \
 	    -k "not cluster and not voronoi"
 
-.PHONY: all clean diagrams synth-corpus synth-4k textured-corpus midtex-corpus sweep-overlapped test bench asan-fuzz
+.PHONY: all clean diagrams synth-corpus synth-4k textured-corpus midtex-corpus ns-corpus sweep-overlapped test bench asan-fuzz
