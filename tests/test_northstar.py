@@ -1,0 +1,117 @@
+"""North-star corpus driver (scripts/experiments/northstar.py): accounting
+and checkpoint/resume.
+
+The measurement of record (NORTHSTAR_r05.json) runs for ~an hour over 1000
+images, so the checkpoint path is load-bearing: a killed run must continue
+from the last completed chunk with identical accumulators, and a corpus
+change must invalidate the checkpoint rather than silently merge two
+corpora. The codecs themselves are covered by their own suites — these
+tests pin the driver's bookkeeping on a tiny corpus with a reduced codec
+list.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from cniic_tpu import image_io
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts", "experiments"))
+import northstar  # noqa: E402
+
+SMALL_SPECS = ["hufman", "delta", "cluster-colors(4)"]
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    paths = []
+    for i in range(6):
+        img = np.zeros((24, 32, 3), np.uint8)
+        img[:, :, 0] = np.linspace(0, 255, 32, dtype=np.uint8)[None, :]
+        img[4 + i : 13 + i, 6:22] = [210, 37 * i, 55]
+        img[18:, 24:] = rng.integers(0, 256, (6, 8, 3))
+        p = tmp_path / f"ns_{i:05d}.png"
+        image_io.save_png(img, p)
+        paths.append(str(p))
+    return paths
+
+
+def _run(args, monkeypatch):
+    monkeypatch.setattr(northstar, "SPECS", SMALL_SPECS)
+    monkeypatch.setattr(sys, "argv", ["northstar.py"] + args)
+    return northstar.main()
+
+
+def _nontiming(d):
+    drop = {"encode_geomean_mps", "decode_geomean_mps", "per_codec_mps",
+            "per_codec_decode_mps", "per_codec_vs_host", "vs_baseline",
+            "suite_encode_s", "host_suite_encode_s_est",
+            "suite_wallclock_vs_host", "wall_s"}
+    return {k: v for k, v in d.items() if k not in drop}
+
+
+def test_full_run_accounting(tmp_path, corpus, monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    d = json.load(open(out))
+    assert d["corpus"]["images"] == 6
+    assert d["per_codec_mean_mse"]["Hufman"] == 0.0
+    assert d["per_codec_mean_mse"]["delta"] == 0.0
+    assert d["per_codec_mean_mse"]["cluster-colors_4"] > 0.0
+    for v in d["per_codec_mean_ratio_pct"].values():
+        assert 0.0 < v < 100.0
+    # checkpoint left behind records all chunks complete
+    ck = json.load(open(out + ".ckpt.json"))
+    assert ck["next_chunk"] == 3
+    assert all(a["images"] == 6 for a in ck["acc"].values())
+    assert all(a["mp"] == pytest.approx(6 * 24 * 32 / 1e6)
+               for a in ck["acc"].values())
+
+
+def test_resume_continues_from_killed_chunk(tmp_path, corpus, monkeypatch):
+    out = str(tmp_path / "ns.json")
+    args = ["--chunk=2", f"--out={out}"] + corpus
+    assert _run(args, monkeypatch) == 0
+    first = json.load(open(out))
+
+    # build the exact checkpoint a kill after chunk 2-of-3 leaves behind:
+    # a clean run over just the first two chunks produces the same
+    # deterministic accumulators (bytes, mse, images, mp) for that prefix
+    partial_out = str(tmp_path / "partial.json")
+    assert _run(["--chunk=2", f"--out={partial_out}"] + corpus[:4],
+                monkeypatch) == 0
+    ck = json.load(open(partial_out + ".ckpt.json"))
+    assert ck["next_chunk"] == 2
+    ck["paths_sha"] = northstar._paths_sha(sorted(corpus))
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+
+    assert _run(args + ["--resume"], monkeypatch) == 0
+    resumed = json.load(open(out))
+    # the resumed run redid exactly the last chunk: image/MP accounting
+    # and the deterministic per-image byte sizes land back identical
+    assert resumed["corpus"] == first["corpus"]
+    assert resumed["per_codec_mean_ratio_pct"] == first["per_codec_mean_ratio_pct"]
+    assert resumed["per_codec_mean_mse"] == first["per_codec_mean_mse"]
+
+
+def test_corpus_change_invalidates_checkpoint(tmp_path, corpus, rng,
+                                              monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    extra = str(tmp_path / "ns_99999.png")
+    image_io.save_png(img, extra)
+    # resume with a different path list: the sha mismatch must force a
+    # fresh start (all 7 images counted exactly once)
+    assert _run(["--chunk=2", f"--out={out}", "--resume"] + corpus + [extra],
+                monkeypatch) == 0
+    d = json.load(open(out))
+    assert d["corpus"]["images"] == 7
+    assert all(a["images"] == 7 for a in
+               json.load(open(out + ".ckpt.json"))["acc"].values())
