@@ -18,7 +18,13 @@ seconds after a one-chunk warmup). Progress checkpoints to
 
 Usage:
   python scripts/experiments/northstar.py [--chunk=32] [--out=NORTHSTAR_r05.json]
-         [--resume] <pngs...>
+         [--resume] [--baseline=BASELINE_HOST.json] [--finalize] <pngs...>
+
+--baseline picks the host-denominator file for the vs_host readings
+(BASELINE_HOST_NS.json = the matched-content sample of the same corpus,
+measure_baseline.py --images). --finalize re-aggregates a COMPLETED run's
+checkpoint into <out> without re-measuring — the way to recompute the
+speedup readings against a baseline measured after the run.
 """
 
 from __future__ import annotations
@@ -57,15 +63,20 @@ def _geomean(vals):
 def main() -> int:
     chunk = 32
     out_path = "NORTHSTAR_r05.json"
-    resume = False
+    baseline_name = "BASELINE_HOST.json"
+    resume = finalize = False
     paths = []
     for a in sys.argv[1:]:
         if a.startswith("--chunk="):
             chunk = int(a.split("=", 1)[1])
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a.startswith("--baseline="):
+            baseline_name = a.split("=", 1)[1]
         elif a == "--resume":
             resume = True
+        elif a == "--finalize":
+            finalize = True
         else:
             paths.extend(sorted(globlib.glob(a)) or [a])
     if not paths:
@@ -78,15 +89,25 @@ def main() -> int:
     acc = {c.name: {"mp": 0.0, "enc_s": 0.0, "dec_s": 0.0, "bytes": 0,
                     "mse_sum": 0.0, "images": 0} for c in codecs}
     start_chunk = 0
-    if resume and os.path.exists(ckpt_path):
+    if (resume or finalize) and os.path.exists(ckpt_path):
         with open(ckpt_path) as fh:
             ck = json.load(fh)
         if ck.get("paths_sha") == _paths_sha(paths):
             acc = ck["acc"]
             start_chunk = ck["next_chunk"]
-            print(f"resuming at chunk {start_chunk}", flush=True)
+            if not finalize:
+                print(f"resuming at chunk {start_chunk}", flush=True)
 
     groups = [paths[i:i + chunk] for i in range(0, len(paths), chunk)]
+    if finalize:
+        # re-aggregate only: the checkpoint must cover the whole corpus
+        if start_chunk < len(groups):
+            print(f"--finalize: checkpoint covers {start_chunk}/{len(groups)}"
+                  " chunks (run not complete)", file=sys.stderr)
+            return 1
+        _write_summary(acc, codecs, paths, chunk, out_path, baseline_name,
+                       wall_s=None)
+        return 0
     t_start = time.time()
 
     # warmup: compile every codec's batch shapes on the first chunk
@@ -143,9 +164,16 @@ def main() -> int:
                        "paths_sha": _paths_sha(paths)}, fh)
         os.replace(ckpt_path + ".tmp", ckpt_path)
 
+    _write_summary(acc, codecs, paths, chunk, out_path, baseline_name,
+                   wall_s=round(time.time() - t_start, 1))
+    return 0
+
+
+def _write_summary(acc, codecs, paths, chunk, out_path, baseline_name,
+                   wall_s):
     baseline = {}
     bl_path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "BASELINE_HOST.json")
+        os.path.abspath(__file__)))), baseline_name)
     if os.path.exists(bl_path):
         with open(bl_path) as fh:
             baseline = json.load(fh)["per_codec"]
@@ -169,6 +197,7 @@ def main() -> int:
         "metric": "northstar_corpus_steady_state",
         "corpus": {"images": len(paths), "chunk": chunk,
                    "total_mp": round(acc[codecs[0].name]["mp"], 1)},
+        "baseline": baseline_name,
         "encode_geomean_mps": round(_geomean(enc.values()), 3),
         "decode_geomean_mps": round(_geomean(dec.values()), 3),
         "vs_baseline": round(_geomean(vs.values()), 3) if len(vs) == len(enc)
@@ -187,12 +216,11 @@ def main() -> int:
         "per_codec_mean_mse": {
             n: round(a["mse_sum"] / max(a["images"], 1), 2)
             for n, a in acc.items()},
-        "wall_s": round(time.time() - t_start, 1),
+        "wall_s": wall_s,
     }
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
-    return 0
 
 
 if __name__ == "__main__":

@@ -17,10 +17,22 @@ Run ALONE on the bench host (the single vCPU makes concurrent timings lie):
     python scripts/measure_baseline.py          # writes BASELINE_HOST.json
 
 bench.py picks the file up automatically.
+
+Matched-content mode (the north-star reading, VERDICT r4 #1): the default
+baseline is measured on bench.py's easy synthetic content, but corpus-scale
+throughput on natural-statistics images is content-dependent for the
+k-means and entropy legs (k-means iteration counts and unique-color counts
+both grow with texture). `--images=<glob>` measures the same protocol on a
+deterministic linspace sample of a real corpus instead, so the numerator
+(NORTHSTAR per-codec MP/s) and denominator share content statistics:
+
+    python scripts/measure_baseline.py --images='data/ns1000/*.png' \
+        --out=BASELINE_HOST_NS.json
 """
 
 from __future__ import annotations
 
+import glob as globlib
 import json
 import os
 import sys
@@ -38,19 +50,60 @@ import bench  # noqa: E402
 from cniic_tpu.codecs import from_spec  # noqa: E402
 
 
+# corpus-sample sizes per codec (--images mode): the host k-means legs run
+# minutes per megapixel on natural content, so they get smaller (still
+# deterministic) samples; everything else gets bench.py's uniform 8
+_CORPUS_SAMPLE = {"voronoi_128": 2, "cluster-colors_32": 4}
+_CORPUS_DEFAULT_N = 8
+
+
+def _corpus_sample(paths: list[str], n: int) -> list[str]:
+    """Deterministic spread over the sorted corpus (captures a mixed-
+    statistics corpus' full range instead of one end of it)."""
+    idx = np.linspace(0, len(paths) - 1, num=min(n, len(paths))).astype(int)
+    return [paths[i] for i in sorted(set(idx.tolist()))]
+
+
 def main() -> int:
+    corpus_glob, out_name = None, "BASELINE_HOST.json"
+    for a in sys.argv[1:]:
+        if a.startswith("--images="):
+            corpus_glob = a.split("=", 1)[1]
+        elif a.startswith("--out="):
+            out_name = a.split("=", 1)[1]
+    corpus_paths = None
+    if corpus_glob is not None:
+        corpus_paths = sorted(globlib.glob(corpus_glob))
+        if not corpus_paths:
+            print(f"no images match {corpus_glob}", file=sys.stderr)
+            return 1
+        from cniic_tpu import image_io
+
     rng = np.random.default_rng(2024)
     out = {}
+    sampled = {}
     for spec, side, n_imgs in bench.SUITE:
         codec = from_spec(spec)
-        imgs = [bench.synth_image(rng, side, side) for _ in range(n_imgs)]
+        if corpus_paths is None:
+            imgs = [bench.synth_image(rng, side, side) for _ in range(n_imgs)]
+            warm = imgs
+        else:
+            take = _CORPUS_SAMPLE.get(codec.name, _CORPUS_DEFAULT_N)
+            sample = _corpus_sample(corpus_paths, take)
+            sampled[codec.name] = [os.path.basename(p) for p in sample]
+            imgs = [image_io.load_image(p) for p in sample]
+            # warm at the exact batch shape with EASY content: the compile
+            # is shape-keyed, not content-keyed, and an easy warmup converges
+            # in far fewer k-means iterations than a second full hard pass
+            warm = [bench.synth_image(rng, im.shape[0], im.shape[1])
+                    for im in imgs]
         mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
         # warmup at the EXACT batch shape (review r4: a 1-image warmup left
         # the batch-4 XLA compile inside the timed region for the k-means
         # codecs, depressing the baseline and inflating vs_baseline), then
         # one timed pass — the heavy codecs take minutes per pass on the
         # host CPU, median-of-N is a luxury reserved for the TPU side
-        codec.encode_batch(imgs)
+        codec.encode_batch(warm)
         t0 = time.perf_counter()
         blobs = codec.encode_batch(imgs)
         enc_s = time.perf_counter() - t0
@@ -70,10 +123,14 @@ def main() -> int:
               f"decode {mp/dec_s:.3f} MP/s", file=sys.stderr, flush=True)
 
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BASELINE_HOST.json")
+        os.path.abspath(__file__))), out_name)
+    doc = {"host": "bench host, CPU backend, single process",
+           "per_codec": out}
+    if corpus_paths is not None:
+        doc["corpus"] = {"glob": corpus_glob, "images": len(corpus_paths),
+                         "sampled": sampled}
     with open(path, "w") as f:
-        json.dump({"host": "bench host, CPU backend, single process",
-                   "per_codec": out}, f, indent=1)
+        json.dump(doc, f, indent=1)
     print(f"wrote {path}", file=sys.stderr)
     return 0
 

@@ -99,6 +99,54 @@ def test_resume_continues_from_killed_chunk(tmp_path, corpus, monkeypatch):
     assert resumed["per_codec_mean_mse"] == first["per_codec_mean_mse"]
 
 
+def test_finalize_reaggregates_without_remeasuring(tmp_path, corpus,
+                                                   monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    first = json.load(open(out))
+
+    # a custom baseline: per-codec encode_mps=1.0 makes vs_host == MP/s
+    bl = {"host": "test", "per_codec": {
+        n: {"encode_mps": 1.0, "decode_mps": 1.0}
+        for n in first["per_codec_mps"]}}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bl_name = "BASELINE_TEST_FINALIZE.json"
+    with open(os.path.join(repo, bl_name), "w") as fh:
+        json.dump(bl, fh)
+    try:
+        os.remove(out)
+        assert _run(["--chunk=2", f"--out={out}", "--finalize",
+                     f"--baseline={bl_name}"] + corpus, monkeypatch) == 0
+    finally:
+        os.remove(os.path.join(repo, bl_name))
+    fin = json.load(open(out))
+    # no re-measurement: the deterministic accounting is identical, the
+    # timing fields come straight from the checkpoint accumulators, and
+    # the speedups are renormalized against the named baseline
+    assert fin["baseline"] == bl_name
+    assert fin["wall_s"] is None
+    assert fin["corpus"] == first["corpus"]
+    assert fin["per_codec_mean_ratio_pct"] == first["per_codec_mean_ratio_pct"]
+    assert fin["per_codec_mps"] == first["per_codec_mps"]
+    for n, v in fin["per_codec_vs_host"].items():
+        assert v == pytest.approx(fin["per_codec_mps"][n], abs=0.006)
+    assert fin["vs_baseline"] == pytest.approx(
+        fin["encode_geomean_mps"], rel=0.01)
+
+
+def test_finalize_refuses_incomplete_checkpoint(tmp_path, corpus,
+                                                monkeypatch):
+    out = str(tmp_path / "ns.json")
+    # a clean run over the 4-image prefix leaves next_chunk=2; presenting
+    # the full 6-image corpus to --finalize must refuse (3 chunks needed)
+    assert _run(["--chunk=2", f"--out={out}"] + corpus[:4], monkeypatch) == 0
+    ck = json.load(open(out + ".ckpt.json"))
+    ck["paths_sha"] = northstar._paths_sha(sorted(corpus))
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+    assert _run(["--chunk=2", f"--out={out}", "--finalize"] + corpus,
+                monkeypatch) == 1
+
+
 def test_corpus_change_invalidates_checkpoint(tmp_path, corpus, rng,
                                               monkeypatch):
     out = str(tmp_path / "ns.json")
