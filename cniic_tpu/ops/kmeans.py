@@ -454,6 +454,48 @@ def _pallas_block(n_pad: int, k: int, batch: int, d2b: int) -> int:
     return kmeans_pallas.pick_block(n_pad, k, batch)
 
 
+def _pow2_floor(v: int) -> int:
+    return 1 << (max(int(v), 1).bit_length() - 1)
+
+
+def _pow2_ceil(v: int) -> int:
+    v = max(int(v), 1)
+    return 1 << (v - 1).bit_length()
+
+
+def _pad_bucket(n: int, bs: int) -> int:
+    """Padded point count: the block multiple rounded up a coarse ladder
+    (powers of two and 1.5x, in units of bs — at most 33% padding). The
+    padded size is a SHAPE, i.e. a compile key of every loop executable:
+    at natural-image statistics the per-batch unique-color count made
+    every 65536-block count a fresh ~20 s compile (measured r5; two of
+    four ns1000 chunks recompiled even after the burst/d2b quantization).
+    Padding rows carry weight 0 and valid=False, so results are invariant
+    (pinned by the batch==sequential tests); per-iteration compute over
+    the extra rows is bounded by the 33% and is orders below the compile
+    it replaces."""
+    blocks = -(-n // bs)
+    p = _pow2_ceil(blocks)
+    if p > 2 and 3 * (p // 4) >= blocks:
+        p = 3 * (p // 4)
+    return p * bs
+
+
+def _xla_burst(n_max: int, B: int) -> int:
+    """Iterations per device call for the XLA loop body (static jit arg —
+    must be a coarse function of the batch, see _drive's docstring)."""
+    return _pow2_floor(max(4, min(64, (1 << 23) // max(n_max * B // 8, 1))))
+
+
+def _pallas_burst(n_max: int, B: int, ndev: int) -> int:
+    """Iterations per device call for the fused-kernel loop (the kernel
+    runs ~3x more iterations/s than the XLA body, so a burst can span more
+    of the convergence run under the same watchdog budget; fewer bursts =
+    fewer ~65 ms tunnel syncs). Static jit arg — coarse by construction."""
+    return _pow2_floor(
+        max(4, min(256, (1 << 29) // max(n_max * B // ndev, 1))))
+
+
 def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
            vp: int, wp: int, pk: int, pw: int, split: int, wide: bool,
            d2b: int, max_iters: int):
@@ -464,12 +506,30 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
     trips the runtime watchdog, so each call is capped and the host checks
     in between. Burst size scales down with point count to keep per-call
     runtime in the seconds range. Returns (iters, cur_dev, cents_dev).
+
+    Compile-cache discipline: `burst` and `d2b` are STATIC jit args of the
+    loop bodies, and their raw values are fine-grained functions of the
+    batch content (exact max point count / exact per-dim maxima). At
+    natural-image statistics they were near-unique per batch, so every
+    kmeans burst recompiled the ~18 s fused loop — measured on ns1000
+    chunks: 19.05 s vs 0.62 s for the SAME shapes warm, and the whole NS
+    cluster-colors leg read 0.48 MP/s compile-bound. Both are therefore
+    quantized to powers of two before reaching a jit boundary: burst only
+    splits the identical trajectory into device calls (state carries
+    across bursts — bit-identical by the chunking tests), and d2b is only
+    ever an exactness upper bound (never in the arithmetic), so rounding
+    it up is conservative-safe.
     """
     B = int(n_arr.size)
     thresh = np.array([_stop_threshold(int(n)) for n in n_arr], np.int32)
+    d2b_key = _pow2_ceil(d2b)
     # watchdog budget covers the whole batch on one device, so the burst
-    # shrinks with the lane count (a mesh divides the work back down)
-    burst = max(4, min(64, (1 << 23) // max(int(n_arr.max()) * B // 8, 1)))
+    # shrinks with the lane count (a mesh divides the work back down).
+    # Burst is sized from the PADDED point count: that's what the device
+    # actually iterates over, and it makes burst a pure function of the
+    # shape bucket (no extra compile variants)
+    n_padded = int(pts_i.shape[1])
+    burst = _xla_burst(n_padded, B)
     thresh_dev = jnp.asarray(thresh)
     n_dev = jnp.asarray(n_arr.astype(np.int32))
     moved = n_arr.astype(np.int64) + 1  # seed: every lane active
@@ -511,17 +571,12 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
         # even when the packed single-reduction key is out of int32 range
         pkc = 1 << max(k - 1, 0).bit_length()
         packed = (d2b + 1) * 2 * pkc < 2**31
-        # the fused kernel runs ~3x more iterations per second than the XLA
-        # body, so a burst can span more of the convergence run and still
-        # stay under the runtime watchdog; fewer bursts = fewer tunnel syncs
-        # (each burst boundary costs ~65 ms of dispatch+fetch on the
-        # tunneled host — a typical voronoi batch should fit in ONE burst)
-        burst = max(4, min(256, (1 << 29) // max(int(n_arr.max()) * B // ndev, 1)))
+        burst = _pallas_burst(n_padded, B, ndev)
 
         if mesh is not None:
             step = kmeans_pallas.kmeans_loop_pallas_sharded(
-                mesh, k, burst, bs_p, vp, wp, pkc, d2b, packed, stall_lim,
-                interp)
+                mesh, k, burst, bs_p, vp, wp, pkc, d2b_key, packed,
+                stall_lim, interp)
 
             def run_burst(cur, cents, moved_seed, best_s, stall_s, it):
                 its, cur, cents, moved, best, stall = step(
@@ -533,7 +588,7 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
                 return kmeans_pallas.kmeans_loop_pallas(
                     ptsT, w, cur, cents, n_dev, thresh_dev, moved_seed,
                     best_s, stall_s, jnp.int32(it), k, burst, bs_p, vp, wp,
-                    pkc, d2b=d2b, packed=packed, stall_lim=stall_lim,
+                    pkc, d2b=d2b_key, packed=packed, stall_lim=stall_lim,
                     interpret=interp)
     else:
         def run_burst(cur, cents, moved_seed, best_s, stall_s, it):
@@ -588,7 +643,7 @@ def _prep_host_batch(points_list, k: int, weights_list):
     bs, vp, wp, pk, pw, split, wide = plan_params(
         max_val, max_w, d2_bound, k, int(ns.max()))
 
-    n_pad = -(-int(ns.max()) // bs) * bs
+    n_pad = _pad_bucket(int(ns.max()), bs)
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
     w = np.zeros((B, n_pad), dtype=np.int32)
     for b, (p, wl) in enumerate(zip(points_list, weights_list)):

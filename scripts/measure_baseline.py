@@ -92,11 +92,21 @@ def main() -> int:
             sample = _corpus_sample(corpus_paths, take)
             sampled[codec.name] = [os.path.basename(p) for p in sample]
             imgs = [image_io.load_image(p) for p in sample]
-            # warm at the exact batch shape with EASY content: the compile
-            # is shape-keyed, not content-keyed, and an easy warmup converges
-            # in far fewer k-means iterations than a second full hard pass
-            warm = [bench.synth_image(rng, im.shape[0], im.shape[1])
-                    for im in imgs]
+            # warm at the exact compile keys. For most codecs easy content
+            # at the same image shapes suffices (far fewer k-means
+            # iterations than a second full hard pass) — but cluster-colors
+            # is keyed by the UNIQUE-COLOR statistics (point-count padding
+            # bucket, weight digit planes), which easy synthetic content
+            # does not reproduce, so its timed region was eating the XLA-CPU
+            # compile (r5; the TPU side had the same bug at scale — see
+            # ops/kmeans.py burst/d2b quantization). Warm it on the real
+            # sample itself: exact keys by construction, and excluding
+            # compile only makes the denominator FASTER (conservative).
+            if codec.name.startswith("cluster-colors"):
+                warm = imgs
+            else:
+                warm = [bench.synth_image(rng, im.shape[0], im.shape[1])
+                        for im in imgs]
         mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
         # warmup at the EXACT batch shape (review r4: a 1-image warmup left
         # the batch-4 XLA compile inside the timed region for the k-means

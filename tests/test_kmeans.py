@@ -381,3 +381,57 @@ def test_kmeans_batch_lane_chunking_bit_identical():
     for (c1, a1, _), (c2, a2, _) in zip(a, b):
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_array_equal(a1, a2)
+
+
+def test_compile_keys_quantized_at_ns_statistics():
+    """r5: the loop bodies' static jit args must be COARSE functions of
+    the batch content. `burst` (from the exact max point count) and the
+    fused kernel's `d2b` (from the exact per-dim maxima) were fine-grained
+    — at ns1000 statistics nearly every 8-lane kmeans batch recompiled the
+    ~18 s fused loop (measured 19.05 s vs 0.62 s warm for the same shapes;
+    the whole NS cluster-colors leg read 0.48 MP/s compile-bound). Pin the
+    quantization: real consecutive-chunk stats from that run must collapse
+    to identical compile keys."""
+    from cniic_tpu.ops.kmeans import (_pad_bucket, _pallas_burst,
+                                      _pow2_ceil, _xla_burst, plan_params)
+
+    # max unique-color counts of consecutive ns1000 8-lane chunks: the
+    # padded point count (a SHAPE, so a compile key) must collapse onto
+    # the coarse ladder {1,2,3,4,6,8,12,16,...} x 65536 (<=33% padding),
+    # and burst is a pure function of the padded size
+    chunk_nmax = [456153, 454737, 434140, 429586, 461587, 375509]
+    pads = {_pad_bucket(n, 65536) for n in chunk_nmax}
+    assert pads <= {393216, 524288}
+    for n in chunk_nmax:
+        pad = _pad_bucket(n, 65536)
+        assert n <= pad < n * 4 // 3 + 65536
+    assert len({_pallas_burst(_pad_bucket(n, 65536), 8, 1)
+                for n in chunk_nmax}) == 1
+    assert len({_xla_burst(_pad_bucket(n, 65536), 8) for n in chunk_nmax}) == 1
+    # per-dim maxima 255 vs 254/253: same canonical exactness bound
+    assert len({_pow2_ceil(3 * m * m) for m in (255, 254, 253)}) == 1
+    # plan_params outputs are coarse too: nearby max weights (same octave)
+    # and the two d2 bounds above plan identically
+    plans = {plan_params(255, mw, 3 * m * m, 32, n)
+             for mw in (700, 900) for m in (254, 255) for n in chunk_nmax}
+    assert len(plans) == 1
+
+
+def test_burst_quantization_bit_identical():
+    """Burst size only splits the same trajectory into device calls: the
+    results must not depend on it (the pow2 quantization changed every
+    burst value)."""
+    rng = np.random.default_rng(7)
+    pts = rng.integers(0, 256, (4096, 3))
+    w = rng.integers(1, 1000, (4096,))
+    base = kmeans.kmeans(pts, 16, weights=w)
+    import cniic_tpu.ops.kmeans as km
+
+    orig = km._xla_burst
+    km._xla_burst = lambda n_max, B: 4
+    try:
+        forced = kmeans.kmeans(pts, 16, weights=w)
+    finally:
+        km._xla_burst = orig
+    np.testing.assert_array_equal(base[0], forced[0])
+    np.testing.assert_array_equal(base[1], forced[1])
