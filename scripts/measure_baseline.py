@@ -110,13 +110,25 @@ def main() -> int:
         mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
         # warmup at the EXACT batch shape (review r4: a 1-image warmup left
         # the batch-4 XLA compile inside the timed region for the k-means
-        # codecs, depressing the baseline and inflating vs_baseline), then
-        # one timed pass — the heavy codecs take minutes per pass on the
-        # host CPU, median-of-N is a luxury reserved for the TPU side
+        # codecs, depressing the baseline and inflating vs_baseline). The
+        # fast C legs then get median-of-3 timed passes: the r5 NS table
+        # carried two starred sub-1x readings (hilbert-rle 0.31x) traced to
+        # a single-pass baseline reading 135 MP/s where best-of-3 probes on
+        # the same sample read 79-85 — the documented 1.5-2x shared-vCPU
+        # swing. Median-of-3 removes that noise in BOTH directions; the
+        # k-means legs (minutes per pass) stay single-pass, gated on the
+        # first pass' cost so the rule is mechanical, not per-codec.
         codec.encode_batch(warm)
         t0 = time.perf_counter()
         blobs = codec.encode_batch(imgs)
         enc_s = time.perf_counter() - t0
+        if enc_s < 30.0:
+            times = [enc_s]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                blobs = codec.encode_batch(imgs)
+                times.append(time.perf_counter() - t0)
+            enc_s = sorted(times)[1]
         # NOTE: decode here is the per-image decode() loop, not bench.py's
         # batched/fused decode path — decode_mps is a host reference point,
         # NOT the denominator of any published speedup (bench.py computes
