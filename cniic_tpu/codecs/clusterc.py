@@ -67,8 +67,12 @@ class ClusterColors(Codec):
         h, w = img.shape[:2]
         pixels = pixels_row_major(img)
         colors, counts, inverse = histogram.color_histogram(pixels)
+        # w_bound: no color frequency can exceed the pixel count, so the
+        # digit-plane compile keys are shape-driven, not content-driven
+        # (ops/kmeans.py _prep_host_batch)
         centroids, assignment, _ = kmeans.kmeans(
-            colors.astype(np.int64), self.n, weights=counts.astype(np.int64))
+            colors.astype(np.int64), self.n, weights=counts.astype(np.int64),
+            w_bound=h * w)
         ids, freq, leaf = _palette_stream_parts(
             self.n, counts, inverse, centroids, assignment)
         stream = huffman.encode_stream(ids, freq, leaf)
@@ -86,10 +90,25 @@ class ClusterColors(Codec):
         if len(imgs) <= 1:
             return [self.encode(img) for img in imgs]
         stats = [histogram.color_histogram(pixels_row_major(im)) for im in imgs]
-        results = kmeans.kmeans_batch(
-            [colors.astype(np.int64) for colors, _, _ in stats], self.n,
-            weights_list=[counts.astype(np.int64) for _, counts, _ in stats],
-            on_error="collect")
+        # Sort lanes by unique-color count before the lane-chunked batch
+        # run: every lane in a chunk is padded to the chunk max and
+        # iterates until the chunk's straggler converges, so one
+        # natural-statistics lane (~500k uniques, r5 census) dragged
+        # seven ~20k-unique lanes up to its 524288-row padding AND its
+        # iteration count. Homogeneous chunks cut both wastes; per-lane
+        # trajectories are independent, so results are bit-identical
+        # under any grouping (the chunking contract, pinned by
+        # tests/test_kmeans.py and test_clusterc.py).
+        order = sorted(range(len(stats)),
+                       key=lambda i: stats[i][0].shape[0], reverse=True)
+        sorted_results = kmeans.kmeans_batch(
+            [stats[i][0].astype(np.int64) for i in order], self.n,
+            weights_list=[stats[i][1].astype(np.int64) for i in order],
+            on_error="collect",
+            w_bound=max(im.shape[0] * im.shape[1] for im in imgs))
+        results: list = [None] * len(stats)
+        for pos, i in enumerate(order):
+            results[i] = sorted_results[pos]
         # a lane that failed the active-cluster floor yields its exception
         # in place of the stream: the runner isolates that image
         ok = [i for i, r in enumerate(results)

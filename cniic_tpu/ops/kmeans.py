@@ -614,9 +614,21 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
     return it, cur, cents
 
 
-def _prep_host_batch(points_list, k: int, weights_list):
+def _prep_host_batch(points_list, k: int, weights_list, w_bound=None):
     """Validate + pad a host-side point batch; returns everything `_drive`
-    needs plus the per-lane true sizes."""
+    needs plus the per-lane true sizes.
+
+    w_bound: optional STRUCTURAL upper bound on any single weight (e.g.
+    the lane's pixel count when weights are color frequencies). The
+    digit-plane counts vp/wp are compile keys of every loop executable,
+    and deriving them from the MEASURED per-batch max weight made them
+    content-dependent: at north-star statistics max_w flips bit-length
+    tiers between chunks, so scattered chunks paid a fresh ~19 s compile
+    (r5 follow-up; the same fragmentation class as the point-count pad
+    buckets). A caller-supplied shape-driven bound makes vp/wp pure
+    functions of the image geometry. Larger vp/wp are exactness-neutral:
+    the planes are a base-2^pw decomposition of the same integers, extra
+    leading planes are zero (pinned by tests/test_kmeans.py)."""
     B = len(points_list)
     points_list = [np.asarray(p) for p in points_list]
     d = points_list[0].shape[1]
@@ -637,11 +649,18 @@ def _prep_host_batch(points_list, k: int, weights_list):
         # per-lane runs when that happens
         raise CrossLaneBoundError("kmeans weighted values must fit int32")
 
+    plan_w = max_w
+    if w_bound is not None:
+        if int(w_bound) < max_w:
+            raise ValueError(
+                f"w_bound {w_bound} below measured max weight {max_w}")
+        plan_w = int(w_bound)
+
     d2_bound = max(
         int(np.sum(p.max(axis=0, initial=0).astype(np.int64) ** 2))
         for p in points_list)
     bs, vp, wp, pk, pw, split, wide = plan_params(
-        max_val, max_w, d2_bound, k, int(ns.max()))
+        max_val, plan_w, d2_bound, k, int(ns.max()))
 
     n_pad = _pad_bucket(int(ns.max()), bs)
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
@@ -663,7 +682,7 @@ def _prep_host_batch(points_list, k: int, weights_list):
         pts_up = pts_i.astype(np.int16)
     else:
         pts_up = pts_i
-    w_up = w.astype(np.uint8) if max_w < 256 else w
+    w_up = w.astype(np.uint8) if plan_w < 256 else w
     pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev = _widen_init(
         jnp.asarray(pts_up), jnp.asarray(w_up),
         jnp.asarray(ns.astype(np.int32)), k)
@@ -711,7 +730,8 @@ def _check_active(active: int, k: int, n: int) -> None:
 
 
 def kmeans_batch(points_list, k: int, weights_list=None,
-                 max_iters: int = 10_000, on_error: str = "raise"):
+                 max_iters: int = 10_000, on_error: str = "raise",
+                 w_bound=None):
     """Cluster a batch of integer point sets in lockstep on the device.
 
     points_list: list of (n_i, d) nonnegative integer arrays (n_i may vary;
@@ -742,7 +762,8 @@ def kmeans_batch(points_list, k: int, weights_list=None,
             out.extend(kmeans_batch(
                 points_list[i:i + max_lanes], k,
                 weights_list[i:i + max_lanes],
-                max_iters=max_iters, on_error=on_error))
+                max_iters=max_iters, on_error=on_error,
+                w_bound=w_bound))
         return out
     if on_error == "collect":
         keep, errs = [], {}
@@ -762,13 +783,15 @@ def kmeans_batch(points_list, k: int, weights_list=None,
             if keep:
                 sub = kmeans_batch([points_list[i] for i in keep], k,
                                    [weights_list[i] for i in keep],
-                                   max_iters=max_iters, on_error="collect")
+                                   max_iters=max_iters, on_error="collect",
+                                   w_bound=w_bound)
                 for i, r in zip(keep, sub):
                     out[i] = r
             return out
     try:
         (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, pw, split,
-         wide, d2b) = _prep_host_batch(points_list, k, weights_list)
+         wide, d2b) = _prep_host_batch(points_list, k, weights_list,
+                                       w_bound=w_bound)
     except CrossLaneBoundError:
         # cross-lane bound (global max_val*max_w) with individually valid
         # lanes: fall back to per-lane runs so the isolation contract holds
@@ -811,16 +834,18 @@ def kmeans_batch(points_list, k: int, weights_list=None,
 
 
 def kmeans(points: np.ndarray, k: int, weights: np.ndarray | None = None,
-           seed: int = 0, max_iters: int = 10_000):  # seed kept for API compat
+           seed: int = 0, max_iters: int = 10_000,
+           w_bound=None):  # seed kept for API compat
     """Cluster integer-valued points (single-lane wrapper over kmeans_batch).
 
     points: (n, d) nonnegative integers (any dtype).
     weights: optional (n,) positive integers (frequency weights).
+    w_bound: optional structural weight bound (see _prep_host_batch).
     Returns (centroids int64[k, d], assignment int32[n], n_iters).
     """
     return kmeans_batch([points], k,
                         None if weights is None else [weights],
-                        max_iters=max_iters)[0]
+                        max_iters=max_iters, w_bound=w_bound)[0]
 
 
 # ---------------------------------------------------------------------------

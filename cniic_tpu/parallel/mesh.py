@@ -146,7 +146,7 @@ def _sharded_burst(mesh: Mesh, k: int, d: int, n_loc: int, bs: int, vp: int,
 
 def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
                    weights: np.ndarray | None = None, block: int = 1024,
-                   max_iters: int = 10_000):
+                   max_iters: int = 10_000, w_bound=None):
     """ops.kmeans.kmeans with the POINT axis sharded over the mesh — the
     multi-chip path for one huge point set. Same init, stop rule, strict-
     move/truncation/repair semantics; bit-identical output (int32 partial
@@ -166,6 +166,14 @@ def sharded_kmeans(mesh: Mesh, points: np.ndarray, k: int,
     ndev = int(mesh.devices.size)
     max_val = int(points.max(initial=0))
     max_w = 1 if weights is None else max(int(np.max(weights)), 1)
+    if w_bound is not None:
+        # structural weight bound: shape-driven vp/wp compile keys (same
+        # contract as ops/kmeans._prep_host_batch; results are exact —
+        # extra leading digit planes are zero)
+        if int(w_bound) < max_w:
+            raise ValueError(
+                f"w_bound {w_bound} below measured max weight {max_w}")
+        max_w = int(w_bound)
     d2_bound = int(np.sum(points.max(axis=0, initial=0).astype(np.int64) ** 2))
     # pw must come from the GLOBAL point count: plane-sum partials are
     # psum'd across shards into the same int32 budget

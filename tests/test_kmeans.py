@@ -435,3 +435,63 @@ def test_burst_quantization_bit_identical():
         km._xla_burst = orig
     np.testing.assert_array_equal(base[0], forced[0])
     np.testing.assert_array_equal(base[1], forced[1])
+
+
+def test_w_bound_bit_identical():
+    """r5: a structural weight bound only widens the digit-plane counts
+    (vp/wp) — extra leading planes are zero, so centroids and assignments
+    must be bit-identical to the measured-max_w plan."""
+    rng = np.random.default_rng(11)
+    pts = rng.integers(0, 256, (3000, 3))
+    w = rng.integers(1, 700, (3000,))  # measured max_w ~700 (vp=3, wp=2)
+    base = kmeans.kmeans(pts, 16, weights=w)
+    bound = kmeans.kmeans(pts, 16, weights=w, w_bound=1 << 20)  # vp=4, wp=3
+    np.testing.assert_array_equal(base[0], bound[0])
+    np.testing.assert_array_equal(base[1], bound[1])
+    assert base[2] == bound[2]
+
+
+def test_w_bound_below_measured_raises():
+    rng = np.random.default_rng(12)
+    pts = rng.integers(0, 256, (500, 3))
+    w = rng.integers(1, 1000, (500,))
+    w[7] = 5000
+    with pytest.raises(ValueError, match="w_bound"):
+        kmeans.kmeans(pts, 8, weights=w, w_bound=4999)
+
+
+def test_w_bound_collapses_weight_tier_keys():
+    """The digit-plane counts are compile keys; under a shape-driven
+    w_bound they must not depend on the weight content even when the
+    measured max weight crosses bit-length tiers (the r5 follow-up
+    fragmentation class; scripts/experiments/kmeans_key_census.py is the
+    corpus-scale census)."""
+    from cniic_tpu.ops.kmeans import plan_params
+
+    tiers = [700, 70_000]  # measured (vp, wp) = (3, 2) vs (4, 3)
+    measured = {plan_params(255, mw, 3 * 255 * 255, 32, 1 << 19)
+                for mw in tiers}
+    assert len(measured) == 2  # the fragmentation being fixed
+    bounded = {plan_params(255, 1 << 20, 3 * 255 * 255, 32, 1 << 19)
+               for _ in tiers}
+    assert len(bounded) == 1
+
+
+def test_clusterc_lane_sort_bit_identical(monkeypatch):
+    """r5: cluster-colors sorts lanes by unique count before the chunked
+    batch run (homogeneous chunks avoid padding/straggler waste). With
+    chunk size forced to 2 the grouping differs materially from input
+    order; streams must still match per-image encode exactly."""
+    from cniic_tpu.codecs import from_spec
+
+    rng = np.random.default_rng(13)
+    imgs = []
+    for uniq_scale in (4, 200, 8, 180, 16):  # skewed unique counts
+        im = (rng.integers(0, uniq_scale, (32, 32, 1)) * 3 +
+              rng.integers(0, 2, (32, 32, 3))).astype(np.uint8)
+        imgs.append(im)
+    monkeypatch.setenv("CNIIC_KMEANS_LANES", "2")
+    codec = from_spec("cluster-colors(8)")
+    batched = codec.encode_batch(imgs)
+    singles = [codec.encode(im) for im in imgs]
+    assert batched == singles
