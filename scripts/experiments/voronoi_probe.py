@@ -41,7 +41,7 @@ def main() -> None:
         sys.exit("no ns1000 corpus; run `make ns-corpus` first")
     codec = from_spec("voronoi(128)")
     # untimed warmup on the first group (compile + first-fetch stall)
-    warm = [image_io.load_png(p) for p in paths[:depth]]
+    warm = [image_io.load_image(p) for p in paths[:depth]]
     t0 = time.perf_counter()
     codec.encode_batch(warm)
     print(f"warm {time.perf_counter() - t0:.1f}s", flush=True)
@@ -49,7 +49,7 @@ def main() -> None:
     total_s = 0.0
     for c in range(chunks):
         grp_paths = paths[(c + 1) * depth:(c + 2) * depth]
-        imgs = [image_io.load_png(p) for p in grp_paths]
+        imgs = [image_io.load_image(p) for p in grp_paths]
         t0 = time.perf_counter()
         streams = codec.encode_batch(imgs)
         # encode_batch returns host bytes — the stream itself is the sync
