@@ -496,6 +496,45 @@ def _pallas_burst(n_max: int, B: int, ndev: int) -> int:
         max(4, min(256, (1 << 29) // max(n_max * B // ndev, 1))))
 
 
+def static_compile_key(ns_max: int, max_val: int, max_w: int,
+                       d2_bound: int, k: int, B: int,
+                       w_bound=None, ndev: int = 1) -> dict:
+    """Single source of truth for the static compile key of one batched
+    k-means run. Every entry is either a shape or a static jit arg of a
+    device executable; two batches with equal dicts share every compiled
+    program. `_prep_host_batch` derives its plan FROM this call and
+    `_drive` computes its bursts via the same `_xla_burst`/`_pallas_burst`
+    leaves, so a corpus census over this function
+    (scripts/experiments/kmeans_key_census.py) cannot desync from
+    production (r5 review). `pts_dtype`/`w_dtype` key only the cheap
+    `_widen_init` widening (at most a handful of variants), not the loop
+    executables — they are derived from the MEASURED maxima to keep the
+    narrow tunnel uploads; everything else is content-independent under a
+    structural `w_bound`."""
+    plan_w = max_w
+    if w_bound is not None:
+        if int(w_bound) < max_w:
+            raise ValueError(
+                f"w_bound {w_bound} below measured max weight {max_w}")
+        plan_w = int(w_bound)
+    bs, vp, wp, pk, pw, split, wide = plan_params(
+        max_val, plan_w, d2_bound, k, ns_max)
+    n_pad = _pad_bucket(ns_max, bs)
+    pkc = 1 << max(k - 1, 0).bit_length()
+    return {
+        "n_pad": n_pad, "bs": bs, "vp": vp, "wp": wp, "pk": pk, "pw": pw,
+        "split": split, "wide": wide,
+        "burst_xla": _xla_burst(n_pad, B),
+        "burst_pallas": _pallas_burst(n_pad, B, ndev),
+        "d2b_key": _pow2_ceil(d2_bound),
+        "packed": (d2_bound + 1) * 2 * pkc < 2**31,
+        "B": B,
+        "pts_dtype": ("u8" if max_val <= 255 else
+                      "i16" if max_val <= 32767 else "i32"),
+        "w_dtype": "u8" if max_w < 256 else "i32",
+    }
+
+
 def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
            vp: int, wp: int, pk: int, pw: int, split: int, wide: bool,
            d2b: int, max_iters: int):
@@ -649,20 +688,15 @@ def _prep_host_batch(points_list, k: int, weights_list, w_bound=None):
         # per-lane runs when that happens
         raise CrossLaneBoundError("kmeans weighted values must fit int32")
 
-    plan_w = max_w
-    if w_bound is not None:
-        if int(w_bound) < max_w:
-            raise ValueError(
-                f"w_bound {w_bound} below measured max weight {max_w}")
-        plan_w = int(w_bound)
-
     d2_bound = max(
         int(np.sum(p.max(axis=0, initial=0).astype(np.int64) ** 2))
         for p in points_list)
-    bs, vp, wp, pk, pw, split, wide = plan_params(
-        max_val, plan_w, d2_bound, k, int(ns.max()))
-
-    n_pad = _pad_bucket(int(ns.max()), bs)
+    plan = static_compile_key(int(ns.max()), max_val, max_w, d2_bound,
+                              k, B, w_bound=w_bound)
+    bs, vp, wp, pk, pw, split, wide = (
+        plan["bs"], plan["vp"], plan["wp"], plan["pk"], plan["pw"],
+        plan["split"], plan["wide"])
+    n_pad = plan["n_pad"]
     pts_i = np.zeros((B, n_pad, d), dtype=np.int32)
     w = np.zeros((B, n_pad), dtype=np.int32)
     for b, (p, wl) in enumerate(zip(points_list, weights_list)):
@@ -676,13 +710,14 @@ def _prep_host_batch(points_list, k: int, weights_list, w_bound=None):
     # The valid mask, tail-chunk init assignment and first-point centroids
     # are index arithmetic and are built ON DEVICE (_widen_init) instead
     # of being uploaded (r3: they were 3-4 B/point of pure overhead).
-    if max_val <= 255:
-        pts_up = pts_i.astype(np.uint8)
-    elif max_val <= 32767:
-        pts_up = pts_i.astype(np.int16)
-    else:
-        pts_up = pts_i
-    w_up = w.astype(np.uint8) if plan_w < 256 else w
+    # Upload dtypes come from the plan's MEASURED-maxima entries (not
+    # plan_w): they key only the cheap _widen_init widening (at most a
+    # handful of variants — the loop executables see the widened int32
+    # either way), so keeping the narrow upload costs nothing in loop
+    # recompiles (r5 review)
+    pts_up = pts_i.astype({"u8": np.uint8, "i16": np.int16,
+                           "i32": np.int32}[plan["pts_dtype"]])
+    w_up = w.astype(np.uint8) if plan["w_dtype"] == "u8" else w
     pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev = _widen_init(
         jnp.asarray(pts_up), jnp.asarray(w_up),
         jnp.asarray(ns.astype(np.int32)), k)
@@ -800,7 +835,7 @@ def kmeans_batch(points_list, k: int, weights_list=None,
         if weights_list is None:
             weights_list = [None] * len(points_list)
         return [kmeans_batch([p], k, [wl], max_iters=max_iters,
-                             on_error="collect")[0]
+                             on_error="collect", w_bound=w_bound)[0]
                 for p, wl in zip(points_list, weights_list)]
     it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, pw, split, wide, d2b,

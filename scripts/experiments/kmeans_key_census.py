@@ -36,25 +36,19 @@ from cniic_tpu.ops import kmeans as km  # noqa: E402
 
 
 def group_key(colors_list, weights_list, k, w_bound=None):
-    """The full static compile key for one lane group, exactly as
-    _prep_host_batch + _drive derive it."""
-    ns = np.array([c.shape[0] for c in colors_list], np.int64)
+    """The full static compile key for one lane group, via the production
+    `ops.kmeans.static_compile_key` (single source of truth — this script
+    cannot desync from `_prep_host_batch`/`_drive`). Note `w_dtype` keys
+    only the cheap widening and is measured-content-driven by design."""
+    ns_max = max(c.shape[0] for c in colors_list)
     max_val = max(int(c.max(initial=0)) for c in colors_list)
     max_w = max(int(w.max(initial=1)) for w in weights_list)
-    plan_w = max_w if w_bound is None else int(w_bound)
     d2_bound = max(
         int(np.sum(c.max(axis=0, initial=0).astype(np.int64) ** 2))
         for c in colors_list)
-    bs, vp, wp, pk, pw, split, wide = km.plan_params(
-        max_val, plan_w, d2_bound, k, int(ns.max()))
-    n_pad = km._pad_bucket(int(ns.max()), bs)
-    B = len(colors_list)
-    burst_xla = km._xla_burst(n_pad, B)
-    burst_pal = km._pallas_burst(n_pad, B, 1)
-    d2b_key = km._pow2_ceil(d2_bound)
-    wdt = "u8" if plan_w < 256 else "i32"
-    return (n_pad, bs, vp, wp, pk, pw, split, wide, burst_xla, burst_pal,
-            d2b_key, B, wdt)
+    plan = km.static_compile_key(ns_max, max_val, max_w, d2_bound, k,
+                                 len(colors_list), w_bound=w_bound)
+    return tuple(plan.values())
 
 
 def main() -> int:
@@ -92,8 +86,8 @@ def main() -> int:
                   f"measured={len(measured)} bounded={len(bounded)} keys",
                   flush=True)
 
-    hdr = ("(n_pad, bs, vp, wp, pk, pw, split, wide, burst_xla, burst_pal,"
-           " d2b_key, B, w_dtype)")
+    hdr = "(" + ", ".join(km.static_compile_key(
+        1, 1, 1, 1, 1, 1).keys()) + ")"
     for name, ctr in (("measured-max_w", measured),
                       ("structural w_bound", bounded)):
         print(f"\n{name}: {len(ctr)} distinct compile key(s) over "

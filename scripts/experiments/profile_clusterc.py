@@ -60,10 +60,20 @@ def main() -> int:
         t_hist = time.perf_counter() - t0
         uniq = [s[0].shape[0] for s in stats]
 
+        # mirror the production path exactly (codecs/clusterc.py
+        # encode_batch): lanes sorted by unique count, structural w_bound
+        # from the pixel counts — otherwise this profiler re-derives
+        # content-driven compile keys production no longer pays for
         t0 = time.perf_counter()
-        results = kmeans.kmeans_batch(
-            [c.astype(np.int64) for c, _, _ in stats], k,
-            weights_list=[w.astype(np.int64) for _, w, _ in stats])
+        order = sorted(range(len(stats)),
+                       key=lambda i: stats[i][0].shape[0], reverse=True)
+        sorted_results = kmeans.kmeans_batch(
+            [stats[i][0].astype(np.int64) for i in order], k,
+            weights_list=[stats[i][1].astype(np.int64) for i in order],
+            w_bound=max(im.shape[0] * im.shape[1] for im in imgs))
+        results = [None] * len(stats)
+        for pos, i in enumerate(order):
+            results[i] = sorted_results[pos]
         t_km = time.perf_counter() - t0
         iters = [r[2] for r in results]
 

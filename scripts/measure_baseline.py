@@ -104,14 +104,15 @@ def main() -> int:
             # BENCH_NOTES r5 follow-up). Matching protocols is the only
             # reading under which "same C on both sides" nets ~1.0.
             sample = _corpus_sample(corpus_paths, _CORPUS_DEFAULT_N)
-            sampled[codec.name] = [os.path.basename(p) for p in sample]
+            # every fast leg uses the same default sample — record it once
+            sampled["default"] = [os.path.basename(p) for p in sample]
             for p in sample:
                 if p not in corpus_cache:
                     corpus_cache[p] = image_io.load_image(p)
             simgs = [corpus_cache[p] for p in sample]
             codec.encode_batch(simgs[:8])
             mp = enc_s = 0.0
-            blobs = []
+            all_blobs = []
             for ci in range(0, len(simgs), _CORPUS_CHUNK):
                 chunk_imgs = simgs[ci:ci + _CORPUS_CHUNK]
                 t0 = time.perf_counter()
@@ -119,18 +120,19 @@ def main() -> int:
                 enc_s += time.perf_counter() - t0
                 mp += sum(im.shape[0] * im.shape[1]
                           for im in chunk_imgs) / 1e6
-            for b in blobs[:1]:
-                codec.decode(b)
-            dmp = sum(im.shape[0] * im.shape[1]
-                      for im in chunk_imgs) / 1e6
+                all_blobs.extend(blobs)
+            # decode over the FULL sample (review r5: the old final-chunk
+            # slice could shrink to a handful of images on a corpus not
+            # divisible by the chunk, silently)
+            codec.decode(all_blobs[0])
             t0 = time.perf_counter()
-            for b in blobs:
+            for b in all_blobs:
                 codec.decode(b)
             dec_s = time.perf_counter() - t0
             out[codec.name] = {"encode_mps": round(mp / enc_s, 4),
-                               "decode_mps": round(dmp / dec_s, 4)}
+                               "decode_mps": round(mp / dec_s, 4)}
             print(f"{codec.name}: encode {mp/enc_s:.3f} MP/s, "
-                  f"decode {dmp/dec_s:.3f} MP/s", file=sys.stderr,
+                  f"decode {mp/dec_s:.3f} MP/s", file=sys.stderr,
                   flush=True)
             continue
         else:

@@ -466,14 +466,19 @@ def test_w_bound_collapses_weight_tier_keys():
     measured max weight crosses bit-length tiers (the r5 follow-up
     fragmentation class; scripts/experiments/kmeans_key_census.py is the
     corpus-scale census)."""
-    from cniic_tpu.ops.kmeans import plan_params
+    from cniic_tpu.ops.kmeans import static_compile_key
 
     tiers = [700, 70_000]  # measured (vp, wp) = (3, 2) vs (4, 3)
-    measured = {plan_params(255, mw, 3 * 255 * 255, 32, 1 << 19)
-                for mw in tiers}
+    measured = {tuple(static_compile_key(
+        1 << 19, 255, mw, 3 * 255 * 255, 32, 8).items()) for mw in tiers}
     assert len(measured) == 2  # the fragmentation being fixed
-    bounded = {plan_params(255, 1 << 20, 3 * 255 * 255, 32, 1 << 19)
-               for _ in tiers}
+    # same varying measured weights, but WITH the structural bound — the
+    # full production key must collapse (both tiers are >=256 so even the
+    # widening dtype agrees; a broken w_bound plumbing would split this
+    # set exactly like `measured`)
+    bounded = {tuple(static_compile_key(
+        1 << 19, 255, mw, 3 * 255 * 255, 32, 8,
+        w_bound=1 << 20).items()) for mw in tiers}
     assert len(bounded) == 1
 
 

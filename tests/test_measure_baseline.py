@@ -52,8 +52,11 @@ def test_images_mode_writes_matched_baseline(tmp_path, rng, monkeypatch):
     for v in doc["per_codec"].values():
         assert v["encode_mps"] > 0 and v["decode_mps"] > 0
     assert doc["corpus"]["images"] == 5
-    # 2-image deterministic spread = first and last of the sorted corpus
-    assert doc["corpus"]["sampled"]["Hufman"] == ["c_0.png", "c_4.png"]
+    # 2-image deterministic spread = first and last of the sorted corpus;
+    # fast legs share one recorded sample (r5 review: the identical list
+    # was stored once per codec, 7x redundant in the artifact)
+    assert doc["corpus"]["sampled"]["default"] == ["c_0.png", "c_4.png"]
+    assert "Hufman" not in doc["corpus"]["sampled"]
 
 
 def test_images_mode_empty_glob_fails(tmp_path, monkeypatch):
