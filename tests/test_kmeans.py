@@ -500,3 +500,35 @@ def test_clusterc_lane_sort_bit_identical(monkeypatch):
     batched = codec.encode_batch(imgs)
     singles = [codec.encode(im) for im in imgs]
     assert batched == singles
+
+
+def test_drive_bursts_match_static_compile_key(monkeypatch):
+    """_drive derives its bursts from the padded shape via the same leaf
+    functions static_compile_key composes — spy on the leaves during a
+    real batch run and pin the values to the helper's entries (the census
+    and any future key audit rely on this equality; r5 review)."""
+    from cniic_tpu.ops import kmeans as km
+
+    calls = {}
+    orig_xla = km._xla_burst
+
+    def spy_xla(n_max, B):
+        v = orig_xla(n_max, B)
+        calls["xla"] = (n_max, B, v)
+        return v
+
+    monkeypatch.setattr(km, "_xla_burst", spy_xla)
+    rng = np.random.default_rng(21)
+    pts = [rng.integers(0, 256, (3000, 3)) for _ in range(3)]
+    ws = [rng.integers(1, 700, (3000,)) for _ in range(3)]
+    km.kmeans_batch(pts, 8, ws, w_bound=1 << 20)
+
+    max_val = max(int(p.max()) for p in pts)
+    max_w = max(int(w.max()) for w in ws)
+    d2b = max(int(np.sum(p.max(axis=0).astype(np.int64) ** 2)) for p in pts)
+    plan = km.static_compile_key(3000, max_val, max_w, d2b, 8, 3,
+                                 w_bound=1 << 20)
+    n_pad, B, v = calls["xla"]
+    assert n_pad == plan["n_pad"]  # burst sized from the PADDED count
+    assert B == plan["B"]
+    assert v == plan["burst_xla"]
