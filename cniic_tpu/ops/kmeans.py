@@ -465,15 +465,17 @@ def _pow2_ceil(v: int) -> int:
 
 def _pad_bucket(n: int, bs: int) -> int:
     """Padded point count: the block multiple rounded up a coarse ladder
-    (powers of two and 1.5x, in units of bs — at most 33% padding). The
+    (powers of two and 1.5x, in units of bs — worst-case ~50% padding
+    just past a pow2 rung, 33% past a 1.5x rung; pinned by
+    test_pad_bucket_ladder_properties). The
     padded size is a SHAPE, i.e. a compile key of every loop executable:
     at natural-image statistics the per-batch unique-color count made
     every 65536-block count a fresh ~20 s compile (measured r5; two of
     four ns1000 chunks recompiled even after the burst/d2b quantization).
     Padding rows carry weight 0 and valid=False, so results are invariant
     (pinned by the batch==sequential tests); per-iteration compute over
-    the extra rows is bounded by the 33% and is orders below the compile
-    it replaces."""
+    the extra rows is bounded by the ladder step and is orders below the
+    compile it replaces."""
     blocks = -(-n // bs)
     p = _pow2_ceil(blocks)
     if p > 2 and 3 * (p // 4) >= blocks:

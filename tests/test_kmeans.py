@@ -532,3 +532,31 @@ def test_drive_bursts_match_static_compile_key(monkeypatch):
     assert n_pad == plan["n_pad"]  # burst sized from the PADDED count
     assert B == plan["B"]
     assert v == plan["burst_xla"]
+
+
+def test_pad_bucket_ladder_properties():
+    """_pad_bucket must (a) never pad below the true count, (b) keep the
+    padded block count within the ladder's worst-case step (<= 3b/2 + 1
+    blocks — ~50% just past a pow2 rung, 33% past a 1.5x rung), (c) emit
+    only ladder sizes (pow2 or 3*2^m blocks) so the number of distinct
+    shapes over any corpus is O(log n), and (d) be monotone (a bigger
+    batch never gets a smaller pad)."""
+    from cniic_tpu.ops.kmeans import _pad_bucket
+
+    bs = 65536
+    prev = 0
+    for n in list(range(1, 4 * bs, 997)) + [
+            bs, bs + 1, 3 * bs, 2**20, 2**20 + 1, 2**22 - 1, 2**22]:
+        p = _pad_bucket(n, bs)
+        assert p >= n
+        assert p % bs == 0
+        blocks = p // bs
+        # ladder membership: pow2 or 3 * pow2
+        assert blocks & (blocks - 1) == 0 or (
+            blocks % 3 == 0 and ((blocks // 3) & (blocks // 3 - 1)) == 0)
+        true_blocks = -(-n // bs)
+        assert blocks <= 3 * true_blocks // 2 + 1  # worst-case ladder step
+    for n in range(1, 300_000, 1111):
+        p = _pad_bucket(n, bs)
+        assert p >= prev  # monotone: a bigger batch never pads smaller
+        prev = p
