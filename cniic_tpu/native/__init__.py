@@ -143,6 +143,9 @@ def _load() -> ctypes.CDLL:
         lib.rle_unframe_scatter.argtypes = [u8p, i64, i64p, i64, u8p]
         lib.rle_unframe_scatter.restype = ctypes.c_int
 
+        lib.mse_sum_u8.argtypes = [u8p, u8p, i64]
+        lib.mse_sum_u8.restype = ctypes.c_uint64
+
         lib.cniic_buf_free.argtypes = [u8p]
         lib.cniic_buf_free.restype = None
 
@@ -166,6 +169,17 @@ def gilbert_curve(w: int, h: int) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"gilbert_curve failed: {rc}")
     return out
+
+
+def mse_sum_u8(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact sum of squared byte differences (the bench.rs:95-104 MSE
+    numerator). Arrays must have the same size; any shape/uint8 dtype."""
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.uint8).reshape(-1)
+    b = np.ascontiguousarray(b, dtype=np.uint8).reshape(-1)
+    if a.size != b.size:
+        raise ValueError(f"size mismatch: {a.size} vs {b.size}")
+    return int(lib.mse_sum_u8(_as_u8p(a), _as_u8p(b), a.size))
 
 
 def huf_decode(payload: bytes | np.ndarray, left: np.ndarray, right: np.ndarray,

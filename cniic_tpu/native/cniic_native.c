@@ -1283,6 +1283,22 @@ EXPORT void gather_i32(const int32_t *idx, const int32_t *table, int64_t n,
     for (int64_t i = 0; i < n; i++) out[i] = table[idx[i]];
 }
 
+/* Sum of squared byte differences over n bytes (the round-trip MSE of
+ * bench.rs:95-104 before the per-pixel division). Exact in u64: worst
+ * case 255^2 * n overflows only past n ~ 2^47 bytes. The numpy chain it
+ * replaces (two int64 casts, subtract, float64 square, sum) measured
+ * 32.6 ms/MP on this host — a ~30 MP/s ceiling that sat inside every
+ * per-image verification; this loop auto-vectorizes and runs at memory
+ * bandwidth. */
+EXPORT uint64_t mse_sum_u8(const uint8_t *a, const uint8_t *b, int64_t n) {
+    uint64_t tot = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t d = (int32_t)a[i] - (int32_t)b[i];
+        tot += (uint64_t)(d * d);
+    }
+    return tot;
+}
+
 /* (count, color) record list -> 12-byte RLE wire records (the framing
  * tail of the approx-RLE encoders; the column-wise numpy assembly cost
  * 8.2 ms/MP at DIV2K-scale record counts, this loop ~1 ms). */

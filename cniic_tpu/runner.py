@@ -28,14 +28,22 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from . import image_io
+from . import image_io, native
 from .codecs.base import Codec
 
 
 def compute_error(x: np.ndarray, y: np.ndarray) -> float:
-    """MSE per bench.rs:95-104 (sum of squared channel diffs / pixel count)."""
-    d = x.astype(np.int64) - y.astype(np.int64)
-    tot = float((d.astype(np.float64) ** 2).sum())
+    """MSE per bench.rs:95-104 (sum of squared channel diffs / pixel count).
+
+    The single-pass C kernel and the numpy chain below are bit-identical:
+    every squared diff is an integer <= 255^2 and the float64 accumulation
+    of the numpy path is exact far past any image size, so both produce the
+    same integer total before the one shared division."""
+    if x.dtype == np.uint8 and y.dtype == np.uint8 and x.shape == y.shape:
+        tot = float(native.mse_sum_u8(x, y))
+    else:
+        d = x.astype(np.int64) - y.astype(np.int64)
+        tot = float((d.astype(np.float64) ** 2).sum())
     return tot / (x.shape[0] * x.shape[1])
 
 

@@ -128,15 +128,24 @@ def main() -> int:
                     blobs = codec.encode_batch(imgs)
                     enc_s = time.perf_counter() - t0
 
+                    # decode timing per the bench.py convention (and this
+                    # script's documented protocol): the round-trip MSE is
+                    # verification, computed OUTSIDE the timed window for
+                    # the non-fused path. The fused path computes exact
+                    # MSEs on-device as part of decode, so its window
+                    # legitimately includes them. (The pre-r5-wrap runs
+                    # timed the numpy MSE inside this window — a ~30 MP/s
+                    # ceiling that sat on every non-fused decode reading.)
                     t0 = time.perf_counter()
                     fused = getattr(codec, "decode_mse_batch", None)
                     if fused is not None:
                         errs, _ = fused(blobs, imgs)
+                        dec_s = time.perf_counter() - t0
                     else:
                         decs = codec.decode_batch(blobs)
+                        dec_s = time.perf_counter() - t0
                         errs = [compute_error(im, de)
                                 for im, de in zip(imgs, decs)]
-                    dec_s = time.perf_counter() - t0
                     break
                 except Exception as e:
                     print(f"chunk {gi} {codec.name} attempt {attempt}: {e!r}",

@@ -44,3 +44,36 @@ def test_gathers_empty():
                              np.zeros(1, np.int32)).size == 0
     assert native.rle_records_frame(np.zeros(0, np.uint8),
                                     np.zeros((0, 3), np.uint8)) == b""
+
+
+def test_mse_sum_u8_matches_numpy(rng):
+    # several sizes incl. odd tails (the C loop has no alignment
+    # assumptions, but pin it anyway) and the saturation extremes
+    for n in (1, 7, 1000, 12_345):
+        a = rng.integers(0, 256, n).astype(np.uint8)
+        b = rng.integers(0, 256, n).astype(np.uint8)
+        ref = int(((a.astype(np.int64) - b.astype(np.int64)) ** 2).sum())
+        assert native.mse_sum_u8(a, b) == ref
+    full = native.mse_sum_u8(np.zeros(513, np.uint8),
+                             np.full(513, 255, np.uint8))
+    assert full == 513 * 255 * 255
+    assert native.mse_sum_u8(np.empty(0, np.uint8),
+                             np.empty(0, np.uint8)) == 0
+
+
+def test_mse_sum_u8_mismatch_rejected():
+    with pytest.raises(ValueError):
+        native.mse_sum_u8(np.zeros(3, np.uint8), np.zeros(4, np.uint8))
+
+
+def test_compute_error_native_matches_numpy_chain(rng):
+    # runner.compute_error dispatches u8/same-shape pairs to the C kernel;
+    # pin that the result is bit-identical to the numpy float64 chain it
+    # replaced (every squared diff is an exactly-representable integer)
+    from cniic_tpu.runner import compute_error
+    x = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+    y = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+    d = x.astype(np.int64) - y.astype(np.int64)
+    ref = float((d.astype(np.float64) ** 2).sum()) / (33 * 47)
+    assert compute_error(x, y) == ref
+    assert compute_error(x, x) == 0.0
