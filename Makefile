@@ -62,6 +62,15 @@ ns-corpus:
 sweep-overlapped:
 	python scripts/run_sweep.py --batch=8 --out=output $(DATASET)
 
+# The north-star measurement at its own scale (BASELINE.md): all nine
+# codecs steady-state over the 1000-image corpus, checkpointed after
+# every chunk (--resume continues a killed run). ~35-45 min on the
+# tunneled v5e; writes NORTHSTAR_r05.json.
+northstar:
+	python scripts/experiments/northstar.py --chunk=32 \
+	    --out=NORTHSTAR_r05.json --baseline=BASELINE_HOST_NS.json \
+	    --resume 'data/ns1000/*.png'
+
 LOSSLESS_DIAGRAM = output/boxplot.png
 LOSSY_DIAGRAM = output/error_vs_compression.png
 TRACKED_DIAGRAMS = lossy_status.png lossless_status.png
