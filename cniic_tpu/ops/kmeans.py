@@ -262,14 +262,13 @@ def _widen(pu, wu, cu):
     return pi.astype(jnp.float32), pi, wu.astype(jnp.int32), cu.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _widen_init(pu, wu, n_dev, k: int):
-    """Widen narrow uploads AND build the init state on device: the
-    valid mask, the tail-chunk initial assignment (kmeans.rs:61-78) and
-    the first-point-of-chunk centroids are all pure index arithmetic over
-    (n, k), so uploading them (2-3 B/point in the old layout) was wasted
-    tunnel traffic. Bit-identical to the host-built state (pinned by the
-    batch==sequential and golden-stream tests)."""
+def _widen_init_body(pu, w_i32, n_dev, k: int):
+    """Shared body of the upload-widening entry points: build the init
+    state on device. The valid mask, the tail-chunk initial assignment
+    (kmeans.rs:61-78) and the first-point-of-chunk centroids are all pure
+    index arithmetic over (n, k), so uploading them (2-3 B/point in the
+    old layout) was wasted tunnel traffic. Bit-identical to the host-built
+    state (pinned by the batch==sequential and golden-stream tests)."""
     B, n_pad, d = pu.shape
     pi = pu.astype(jnp.int32)
     idx = jnp.arange(n_pad, dtype=jnp.int32)
@@ -286,7 +285,31 @@ def _widen_init(pu, wu, n_dev, k: int):
         return valid, cur, p[cents_idx]
 
     valid, cur, cents = jax.vmap(lane)(pi, n_dev.astype(jnp.int32))
-    return pi.astype(jnp.float32), pi, wu.astype(jnp.int32), valid, cur, cents
+    return pi.astype(jnp.float32), pi, w_i32, valid, cur, cents
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _widen_init(pu, wu, n_dev, k: int):
+    """Widen narrow uploads (weights fit their upload dtype whole) and
+    build the init state on device — see `_widen_init_body`."""
+    return _widen_init_body(pu, wu.astype(jnp.int32), n_dev, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _widen_init_ovf(pu, wlo, ovf_lane, ovf_pos, ovf_hi, n_dev, k: int):
+    """u16 weight upload + sparse high-part reassembly: weights are color
+    frequencies, so a handful per lane can exceed 65535 (a flat region)
+    while the bulk fit u16 — uploading int32 for all of them doubled the
+    dominant tunnel transfer of the k-means stage (phase probe r5: upload
+    was 44% of a warm 8-lane call, weights 16.8 of its 29.4 MB). The low
+    halves ride as one u16 plane and the few (lane, pos, hi) overflow
+    triples are scattered back on device; the overflow arrays are padded
+    to a coarse pow2 bucket (>= _OVF_MIN) with (0, 0, 0) entries — adding
+    a zero high part at (0, 0) is a no-op, so padding is exactness-free."""
+    w = wlo.astype(jnp.int32)
+    w = w.at[ovf_lane, ovf_pos].add(
+        ovf_hi.astype(jnp.int32) << 16, mode="drop")
+    return _widen_init_body(pu, w, n_dev, k)
 
 
 # a lane also freezes after this many consecutive iterations without a 2%
@@ -363,6 +386,19 @@ def _active_counts(cur, valid, k: int):
         return jnp.sum((hits > 0).astype(jnp.int32))
 
     return jax.vmap(one)(cur, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pack_results_u8(cur, cents, k: int):
+    """u8 variant of `_pack_results_u16` for the RGB-palette case
+    (k <= 256, centroid components <= 255): the assignment fetch is the
+    second-largest tunnel transfer of the k-means stage (phase probe r5:
+    ~25% of a warm call), and halving its width is free when ids and
+    colors both fit a byte."""
+    B = cur.shape[0]
+    return jnp.concatenate(
+        [cur.astype(jnp.uint8),
+         cents.reshape(B, k * cents.shape[2]).astype(jnp.uint8)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -533,7 +569,12 @@ def static_compile_key(ns_max: int, max_val: int, max_w: int,
         "B": B,
         "pts_dtype": ("u8" if max_val <= 255 else
                       "i16" if max_val <= 32767 else "i32"),
-        "w_dtype": "u8" if max_w < 256 else "i32",
+        # weights >= 256 upload as u16 low halves + a padded sparse
+        # overflow scatter (_widen_init_ovf) — ONE tier for every
+        # max_w >= 256, so the key census stays as coarse as the old
+        # u8/i32 split while the dominant upload halves (total weight
+        # < 2^27 bounds any weight to 27 bits, so hi parts fit u16)
+        "w_dtype": "u8" if max_w < 256 else "u16ovf",
     }
 
 
@@ -655,6 +696,27 @@ def _drive(pts_f, pts_i, w, valid, cur, cents, n_arr, k: int, bs: int,
     return it, cur, cents
 
 
+# overflow-array pad floor for the u16+sparse weight upload: a 1 MP lane
+# can hold at most 15 frequencies >= 65536, so 128 covers standard 8-lane
+# batches with zero variants; bigger batches grow up the pow2 ladder
+_OVF_MIN = 128
+
+
+def _split_weights_u16(w: np.ndarray):
+    """Split int32 weights (B, n_pad) into the u16 low plane + padded
+    sparse (lane, pos, hi) overflow triples for `_widen_init_ovf`."""
+    wlo = (w & 0xFFFF).astype(np.uint16)
+    lanes, poss = np.nonzero(w >= 65536)
+    n_ovf = _pow2_ceil(max(len(lanes), _OVF_MIN))
+    ovf_lane = np.zeros(n_ovf, np.int32)
+    ovf_pos = np.zeros(n_ovf, np.int32)
+    ovf_hi = np.zeros(n_ovf, np.uint16)
+    ovf_lane[:len(lanes)] = lanes
+    ovf_pos[:len(lanes)] = poss
+    ovf_hi[:len(lanes)] = (w[lanes, poss] >> 16).astype(np.uint16)
+    return wlo, ovf_lane, ovf_pos, ovf_hi
+
+
 def _prep_host_batch(points_list, k: int, weights_list, w_bound=None):
     """Validate + pad a host-side point batch; returns everything `_drive`
     needs plus the per-lane true sizes.
@@ -719,10 +781,21 @@ def _prep_host_batch(points_list, k: int, weights_list, w_bound=None):
     # recompiles (r5 review)
     pts_up = pts_i.astype({"u8": np.uint8, "i16": np.int16,
                            "i32": np.int32}[plan["pts_dtype"]])
-    w_up = w.astype(np.uint8) if plan["w_dtype"] == "u8" else w
-    pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev = _widen_init(
-        jnp.asarray(pts_up), jnp.asarray(w_up),
-        jnp.asarray(ns.astype(np.int32)), k)
+    if plan["w_dtype"] == "u16ovf":
+        wlo_up, ovf_lane, ovf_pos, ovf_hi = _split_weights_u16(w)
+        (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev,
+         cents_dev) = _widen_init_ovf(
+            jnp.asarray(pts_up), jnp.asarray(wlo_up), jnp.asarray(ovf_lane),
+            jnp.asarray(ovf_pos), jnp.asarray(ovf_hi),
+            jnp.asarray(ns.astype(np.int32)), k)
+    else:
+        # "i32" is unreachable from static_compile_key (total weight
+        # < 2^27 bounds every weight) but kept as the reference upload
+        # for the tier bit-identity test
+        w_up = w.astype(np.uint8) if plan["w_dtype"] == "u8" else w
+        pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev = _widen_init(
+            jnp.asarray(pts_up), jnp.asarray(w_up),
+            jnp.asarray(ns.astype(np.int32)), k)
     return (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev, ns,
             bs, vp, wp, pk, pw, split, wide, d2_bound)
 
@@ -794,14 +867,10 @@ def kmeans_batch(points_list, k: int, weights_list=None,
     if len(points_list) > max_lanes > 0:
         if weights_list is None:
             weights_list = [None] * len(points_list)
-        out = []
-        for i in range(0, len(points_list), max_lanes):
-            out.extend(kmeans_batch(
-                points_list[i:i + max_lanes], k,
-                weights_list[i:i + max_lanes],
-                max_iters=max_iters, on_error=on_error,
-                w_bound=w_bound))
-        return out
+        chunks = [(points_list[i:i + max_lanes],
+                   weights_list[i:i + max_lanes])
+                  for i in range(0, len(points_list), max_lanes)]
+        return _kmeans_batch_chunks(chunks, k, max_iters, on_error, w_bound)
     if on_error == "collect":
         keep, errs = [], {}
         if weights_list is None:
@@ -826,9 +895,8 @@ def kmeans_batch(points_list, k: int, weights_list=None,
                     out[i] = r
             return out
     try:
-        (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, pw, split,
-         wide, d2b) = _prep_host_batch(points_list, k, weights_list,
-                                       w_bound=w_bound)
+        prepped = _prep_host_batch(points_list, k, weights_list,
+                                   w_bound=w_bound)
     except CrossLaneBoundError:
         # cross-lane bound (global max_val*max_w) with individually valid
         # lanes: fall back to per-lane runs so the isolation contract holds
@@ -839,15 +907,28 @@ def kmeans_batch(points_list, k: int, weights_list=None,
         return [kmeans_batch([p], k, [wl], max_iters=max_iters,
                              on_error="collect", w_bound=w_bound)[0]
                 for p, wl in zip(points_list, weights_list)]
+    return _finish_prepped(prepped, points_list, k, max_iters, on_error)
+
+
+def _finish_prepped(prepped, points_list, k: int, max_iters: int,
+                    on_error: str):
+    """Drive + fetch + result assembly for one prepped lane chunk (the
+    tail of `kmeans_batch`, split out so `_kmeans_batch_chunks` can
+    overlap the NEXT chunk's prep/upload with this chunk's bursts)."""
+    (pts_f, pts_i, w, valid, cur, cents, ns, bs, vp, wp, pk, pw, split,
+     wide, d2b) = prepped
     it, cur, cents = _drive(pts_f, pts_i, w, valid, cur, cents,
                             ns, k, bs, vp, wp, pk, pw, split, wide, d2b,
                             max_iters)
     d = cents.shape[2]
     max_val = max(int(np.asarray(p).max(initial=0)) for p in points_list)
     if k <= 65535 and max_val <= 65535:
-        # one packed u16 fetch instead of two round trips (~50 ms saved
-        # per batch on the tunnel — measured r3)
-        packed = np.asarray(_pack_results_u16(cur, cents, k))
+        # one packed fetch instead of two round trips (~50 ms saved per
+        # batch on the tunnel — measured r3); u8-packed when ids and
+        # centroid components both fit a byte (the RGB palette case)
+        pack = _pack_results_u8 if (k <= 256 and max_val <= 255) \
+            else _pack_results_u16
+        packed = np.asarray(pack(cur, cents, k))
         n_pad = cur.shape[1]
         assign_np = packed[:, :n_pad].astype(np.int32)
         cents_np = packed[:, n_pad:].reshape(-1, k, d).astype(np.int64)
@@ -867,6 +948,57 @@ def kmeans_batch(points_list, k: int, weights_list=None,
             continue
         out.append((cents_np[b], assignment, it))
     log.info("k-means: %d iterations over %d lane(s)", it, len(out))
+    return out
+
+
+def _kmeans_batch_chunks(chunks, k: int, max_iters: int, on_error: str,
+                         w_bound):
+    """Consecutive lane chunks with upload/compute overlap.
+
+    The phase probe (BENCH_NOTES r5) splits a warm 8-lane call into
+    upload 44% / fetch 25% / burst 17% / prep 10% — the stage is
+    transfer-bound, so a single worker thread runs the NEXT chunk's host
+    prep + upload while the current chunk drives its device bursts and
+    fetches its results. Per-lane trajectories are independent, so the
+    outputs are bit-identical to the serial loop (pinned by
+    test_kmeans_batch_lane_chunking_bit_identical and the prefetch A/B
+    test). A chunk whose prefetched prep raises anything falls back to
+    the serial `kmeans_batch` call so every validation/fallback contract
+    (collect-mode isolation, CrossLaneBoundError per-lane retry) is
+    byte-for-byte the serial behavior. CNIIC_KMEANS_PREFETCH=0 disables
+    the overlap."""
+    serial_chunk = lambda pts, wts: kmeans_batch(  # noqa: E731
+        pts, k, wts, max_iters=max_iters, on_error=on_error,
+        w_bound=w_bound)
+    out = []
+    if os.environ.get("CNIIC_KMEANS_PREFETCH", "1") != "1":
+        for pts, wts in chunks:
+            out.extend(serial_chunk(pts, wts))
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(pts, wts):
+        try:
+            if on_error == "collect":
+                # any per-lane validation error must surface through the
+                # serial path's isolation machinery, not from here
+                for p, wl in zip(pts, wts):
+                    _validate_lane(np.asarray(p), wl, k)
+            return _prep_host_batch(pts, k, wts, w_bound=w_bound)
+        except Exception:
+            return None  # serial path re-runs and surfaces it
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(prep, *chunks[0])
+        for i, (pts, wts) in enumerate(chunks):
+            prepped = fut.result()
+            if i + 1 < len(chunks):
+                fut = ex.submit(prep, *chunks[i + 1])
+            if prepped is None:
+                out.extend(serial_chunk(pts, wts))
+            else:
+                out.extend(_finish_prepped(prepped, pts, k, max_iters,
+                                           on_error))
     return out
 
 

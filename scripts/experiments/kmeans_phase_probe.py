@@ -76,17 +76,32 @@ def probe_call(points_list, k, weights_list, w_bound):
         w[b, :n] = 1 if wl is None else wl
     pts_up = pts_i.astype({"u8": np.uint8, "i16": np.int16,
                            "i32": np.int32}[plan["pts_dtype"]])
-    w_up = w.astype(np.uint8) if plan["w_dtype"] == "u8" else w
+    ovf = plan["w_dtype"] == "u16ovf"
+    if ovf:
+        wlo_up, ovf_lane, ovf_pos, ovf_hi = km._split_weights_u16(w)
+        up_bytes = (pts_up.nbytes + wlo_up.nbytes + ovf_lane.nbytes
+                    + ovf_pos.nbytes + ovf_hi.nbytes)
+    else:
+        w_up = w.astype(np.uint8) if plan["w_dtype"] == "u8" else w
+        up_bytes = pts_up.nbytes + w_up.nbytes
     t["prep"] = time.perf_counter() - t0
 
     # ---- upload + widen (device), synced ----
     t0 = time.perf_counter()
-    pts_f, pts_i_dev, w_dev, valid_dev, cur_dev, cents_dev = km._widen_init(
-        jnp.asarray(pts_up), jnp.asarray(w_up),
-        jnp.asarray(ns.astype(np.int32)), k)
+    if ovf:
+        (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev,
+         cents_dev) = km._widen_init_ovf(
+            jnp.asarray(pts_up), jnp.asarray(wlo_up), jnp.asarray(ovf_lane),
+            jnp.asarray(ovf_pos), jnp.asarray(ovf_hi),
+            jnp.asarray(ns.astype(np.int32)), k)
+    else:
+        (pts_f, pts_i_dev, w_dev, valid_dev, cur_dev,
+         cents_dev) = km._widen_init(
+            jnp.asarray(pts_up), jnp.asarray(w_up),
+            jnp.asarray(ns.astype(np.int32)), k)
     _sync_small(cents_dev)
     t["upload"] = time.perf_counter() - t0
-    up_mb = (pts_up.nbytes + w_up.nbytes) / 1e6
+    up_mb = up_bytes / 1e6
 
     # ---- bursts: replicate _drive with per-burst timing ----
     thresh = np.array([km._stop_threshold(int(n)) for n in ns], np.int32)
@@ -144,9 +159,11 @@ def probe_call(points_list, k, weights_list, w_bound):
         it = new_it
     t["burst"] = sum(dt for _, dt in burst_times)
 
-    # ---- fetch ----
+    # ---- fetch (same packing selection as kmeans_batch) ----
     t0 = time.perf_counter()
-    packed_res = np.asarray(km._pack_results_u16(cur, cents, k))
+    pack = km._pack_results_u8 if (k <= 256 and max_val <= 255) \
+        else km._pack_results_u16
+    packed_res = np.asarray(pack(cur, cents, k))
     t["fetch"] = time.perf_counter() - t0
 
     return t, it, burst_times, up_mb, n_pad, bs_p, packed_res

@@ -383,6 +383,31 @@ def test_kmeans_batch_lane_chunking_bit_identical():
         np.testing.assert_array_equal(a1, a2)
 
 
+def test_chunk_prefetch_bit_identical(monkeypatch):
+    """r5: the chunked path prefetches the next chunk's prep/upload on a
+    worker thread while the current chunk drives (the stage is
+    transfer-bound — phase probe). Results must be bit-identical with the
+    overlap on and off, including collect-mode batches where a chunk
+    carries an invalid lane (those chunks fall back to the serial path)."""
+    rng = np.random.default_rng(3)
+    pts = [rng.integers(0, 256, (150 + 11 * i, 3)) for i in range(10)]
+    wts = [rng.integers(1, 300, (p.shape[0],)).astype(np.int64)
+           for p in pts]
+    pts[6] = pts[6][:4]  # < k: invalid lane in the second chunk
+    wts[6] = wts[6][:4]
+    monkeypatch.setenv("CNIIC_KMEANS_LANES", "4")
+    monkeypatch.setenv("CNIIC_KMEANS_PREFETCH", "0")
+    a = kmeans.kmeans_batch(pts, 8, weights_list=wts, on_error="collect")
+    monkeypatch.setenv("CNIIC_KMEANS_PREFETCH", "1")
+    b = kmeans.kmeans_batch(pts, 8, weights_list=wts, on_error="collect")
+    assert isinstance(a[6], Exception) and isinstance(b[6], Exception)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if i == 6:
+            continue
+        np.testing.assert_array_equal(ra[0], rb[0])
+        np.testing.assert_array_equal(ra[1], rb[1])
+
+
 def test_compile_keys_quantized_at_ns_statistics():
     """r5: the loop bodies' static jit args must be COARSE functions of
     the batch content. `burst` (from the exact max point count) and the
@@ -480,6 +505,65 @@ def test_w_bound_collapses_weight_tier_keys():
         1 << 19, 255, mw, 3 * 255 * 255, 32, 8,
         w_bound=1 << 20).items()) for mw in tiers}
     assert len(bounded) == 1
+
+
+def test_weight_upload_tiers_bit_identical(monkeypatch):
+    """r5: weights >= 256 upload as u16 low halves + a padded sparse
+    overflow scatter (_widen_init_ovf; phase probe found the i32 weight
+    plane was the largest tunnel transfer of the stage). Results must be
+    bit-identical to the reference int32 upload across tiers — including
+    lanes whose weights cross 65535 (sparse high parts), a lane with
+    >_OVF_MIN overflow entries (the pow2 pad ladder), and mixed batches."""
+    import cniic_tpu.ops.kmeans as km
+
+    rng = np.random.default_rng(13)
+    sets = [
+        (rng.integers(0, 256, (700, 3)).astype(np.int64),
+         rng.integers(1, 200, 700).astype(np.int64)),       # u8 tier
+        (rng.integers(0, 256, (900, 3)).astype(np.int64),
+         rng.integers(1, 60_000, 900).astype(np.int64)),    # u16, no ovf
+    ]
+    w_big = rng.integers(1, 2_000, 1100).astype(np.int64)
+    w_big[[3, 500, 1050]] = [70_000, 131_072, 1_000_000]    # sparse hi
+    sets.append((rng.integers(0, 256, (1100, 3)).astype(np.int64), w_big))
+    w_many = np.full(200, 70_000, np.int64)                 # 200 > _OVF_MIN
+    sets.append((rng.integers(0, 256, (200, 3)).astype(np.int64), w_many))
+
+    pts_l = [p for p, _ in sets]
+    wts_l = [w for _, w in sets]
+    batched = km.kmeans_batch(pts_l, 8, weights_list=wts_l)
+
+    orig = km.static_compile_key
+
+    def forced_i32(*a, **kw):
+        plan = orig(*a, **kw)
+        if plan["w_dtype"] != "u8":
+            plan = dict(plan, w_dtype="i32")
+        return plan
+
+    monkeypatch.setattr(km, "static_compile_key", forced_i32)
+    wide = km.kmeans_batch(pts_l, 8, weights_list=wts_l)
+    for (bc, ba, bi), (wc, wa, wi) in zip(batched, wide):
+        assert bi == wi
+        np.testing.assert_array_equal(bc, wc)
+        np.testing.assert_array_equal(ba, wa)
+
+
+def test_pack_results_u8_matches_u16():
+    """The u8-packed result fetch must carry the same assignments and
+    centroids as the u16 packing whenever both apply (k <= 256, values
+    <= 255)."""
+    import jax.numpy as jnp
+
+    import cniic_tpu.ops.kmeans as km
+
+    rng = np.random.default_rng(5)
+    cur = jnp.asarray(rng.integers(0, 32, (2, 64)).astype(np.int32))
+    cents = jnp.asarray(rng.integers(0, 256, (2, 32, 3)).astype(np.int32))
+    p8 = np.asarray(km._pack_results_u8(cur, cents, 32))
+    p16 = np.asarray(km._pack_results_u16(cur, cents, 32))
+    assert p8.dtype == np.uint8 and p16.dtype == np.uint16
+    np.testing.assert_array_equal(p8.astype(np.uint16), p16)
 
 
 def test_clusterc_lane_sort_bit_identical(monkeypatch):
