@@ -18,13 +18,20 @@ seconds after a one-chunk warmup). Progress checkpoints to
 
 Usage:
   python scripts/experiments/northstar.py [--chunk=32] [--out=NORTHSTAR_r05.json]
-         [--resume] [--baseline=BASELINE_HOST.json] [--finalize] <pngs...>
+         [--resume] [--baseline=BASELINE_HOST.json] [--finalize]
+         [--remeasure=spec1,spec2] <pngs...>
 
 --baseline picks the host-denominator file for the vs_host readings
 (BASELINE_HOST_NS.json = the matched-content sample of the same corpus,
 measure_baseline.py --images). --finalize re-aggregates a COMPLETED run's
 checkpoint into <out> without re-measuring — the way to recompute the
 speedup readings against a baseline measured after the run.
+--remeasure=<specs> re-runs ONLY the named codecs over the whole corpus
+under the identical protocol and splices their fresh accumulators into a
+COMPLETED checkpoint (the way to update legs whose engines changed without
+re-paying the untouched legs); progress checkpoints under a "re" key so a
+killed remeasure resumes, and a checkpoint holding an unfinished remeasure
+refuses plain --resume/--finalize until the remeasure completes.
 """
 
 from __future__ import annotations
@@ -65,6 +72,7 @@ def main() -> int:
     out_path = "NORTHSTAR_r05.json"
     baseline_name = "BASELINE_HOST.json"
     resume = finalize = False
+    remeasure = []
     paths = []
     for a in sys.argv[1:]:
         if a.startswith("--chunk="):
@@ -77,28 +85,66 @@ def main() -> int:
             resume = True
         elif a == "--finalize":
             finalize = True
+        elif a.startswith("--remeasure="):
+            remeasure = [s for s in a.split("=", 1)[1].split(",") if s]
         else:
             paths.extend(sorted(globlib.glob(a)) or [a])
     if not paths:
         print(__doc__, file=sys.stderr)
         return 1
+    if finalize and remeasure:
+        print("--finalize and --remeasure are exclusive", file=sys.stderr)
+        return 1
     paths = sorted(paths)
     ckpt_path = out_path + ".ckpt.json"
+    groups = [paths[i:i + chunk] for i in range(0, len(paths), chunk)]
+
+    def _fresh():
+        return {"mp": 0.0, "enc_s": 0.0, "dec_s": 0.0, "bytes": 0,
+                "mse_sum": 0.0, "images": 0}
 
     codecs = [from_spec(s) for s in SPECS]
-    acc = {c.name: {"mp": 0.0, "enc_s": 0.0, "dec_s": 0.0, "bytes": 0,
-                    "mse_sum": 0.0, "images": 0} for c in codecs}
+    acc = {c.name: _fresh() for c in codecs}
     start_chunk = 0
-    if (resume or finalize) and os.path.exists(ckpt_path):
+    run_codecs = codecs
+
+    ck = None
+    if (resume or finalize or remeasure) and os.path.exists(ckpt_path):
         with open(ckpt_path) as fh:
             ck = json.load(fh)
-        if ck.get("paths_sha") == _paths_sha(paths):
-            acc = ck["acc"]
-            start_chunk = ck["next_chunk"]
-            if not finalize:
-                print(f"resuming at chunk {start_chunk}", flush=True)
+        if ck.get("paths_sha") != _paths_sha(paths):
+            ck = None
 
-    groups = [paths[i:i + chunk] for i in range(0, len(paths), chunk)]
+    if remeasure:
+        run_codecs = [from_spec(s) for s in remeasure]
+        unknown = [c.name for c in run_codecs if c.name not in acc]
+        if unknown:
+            print(f"--remeasure: not in SPECS: {unknown}", file=sys.stderr)
+            return 1
+        if ck is None or ck["next_chunk"] < len(groups):
+            print("--remeasure needs a COMPLETED checkpoint over the same"
+                  " corpus (it splices re-measured legs into the record)",
+                  file=sys.stderr)
+            return 1
+        acc = ck["acc"]
+        prev = ck.get("re")
+        if resume and prev and set(prev["specs"]) == set(remeasure):
+            start_chunk = prev["next_chunk"]
+            print(f"resuming remeasure at chunk {start_chunk}", flush=True)
+        else:
+            for c in run_codecs:
+                acc[c.name] = _fresh()
+    elif ck is not None:
+        if ck.get("re"):
+            print("checkpoint holds an unfinished --remeasure; rerun with"
+                  " the same --remeasure list (+ --resume) or delete it",
+                  file=sys.stderr)
+            return 1
+        acc = ck["acc"]
+        start_chunk = ck["next_chunk"]
+        if not finalize:
+            print(f"resuming at chunk {start_chunk}", flush=True)
+
     if finalize:
         # re-aggregate only: the checkpoint must cover the whole corpus
         if start_chunk < len(groups):
@@ -113,14 +159,14 @@ def main() -> int:
     # warmup: compile every codec's batch shapes on the first chunk
     # (untimed; the steady-state claim must not include compiles)
     warm = [image_io.load_image(p) for p in groups[0]]
-    for codec in codecs:
+    for codec in run_codecs:
         codec.encode_batch(warm[: min(8, len(warm))])
     print(f"warmup done ({time.time()-t_start:.0f}s)", flush=True)
 
     for gi in range(start_chunk, len(groups)):
         imgs = [image_io.load_image(p) for p in groups[gi]]
         mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
-        for codec in codecs:
+        for codec in run_codecs:
             a = acc[codec.name]
             for attempt in range(3):
                 try:
@@ -162,14 +208,26 @@ def main() -> int:
             a["bytes"] += sum(len(b) for b in blobs)
             a["mse_sum"] += float(np.sum(errs))
             a["images"] += len(imgs)
-        done_mp = acc[codecs[0].name]["mp"]
+        done_mp = acc[run_codecs[0].name]["mp"]
         line = " ".join(
             f"{c.name}:{acc[c.name]['mp']/max(acc[c.name]['enc_s'],1e-9):.1f}"
-            for c in codecs)
+            for c in run_codecs)
         print(f"chunk {gi+1}/{len(groups)} ({done_mp:.0f} MP) enc MP/s {line}",
               flush=True)
+        state = {"acc": acc,
+                 "next_chunk": len(groups) if remeasure else gi + 1,
+                 "paths_sha": _paths_sha(paths)}
+        if remeasure:
+            state["re"] = {"specs": remeasure, "next_chunk": gi + 1}
         with open(ckpt_path + ".tmp", "w") as fh:
-            json.dump({"acc": acc, "next_chunk": gi + 1,
+            json.dump(state, fh)
+        os.replace(ckpt_path + ".tmp", ckpt_path)
+
+    if remeasure:
+        # remeasure complete: strip the "re" progress key so the checkpoint
+        # reads as a plain completed run again
+        with open(ckpt_path + ".tmp", "w") as fh:
+            json.dump({"acc": acc, "next_chunk": len(groups),
                        "paths_sha": _paths_sha(paths)}, fh)
         os.replace(ckpt_path + ".tmp", ckpt_path)
 

@@ -147,6 +147,81 @@ def test_finalize_refuses_incomplete_checkpoint(tmp_path, corpus,
                 monkeypatch) == 1
 
 
+def test_remeasure_splices_leg_into_completed_record(tmp_path, corpus,
+                                                     monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    first = json.load(open(out))
+    ck0 = json.load(open(out + ".ckpt.json"))
+
+    # poison the timing of one leg in the checkpoint: a remeasure of that
+    # leg must replace it, while the untouched legs' accumulators (timing
+    # included) pass through from the checkpoint exactly
+    ck = json.load(open(out + ".ckpt.json"))
+    ck["acc"]["cluster-colors_4"]["enc_s"] *= 1000.0
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+
+    assert _run(["--chunk=2", f"--out={out}",
+                 "--remeasure=cluster-colors(4)"] + corpus, monkeypatch) == 0
+    re = json.load(open(out))
+    assert _nontiming(re) == _nontiming(first)
+    # the poisoned figure (~1000x slower) did not survive
+    assert re["per_codec_mps"]["cluster-colors_4"] > \
+        first["per_codec_mps"]["cluster-colors_4"] / 100.0
+    ck2 = json.load(open(out + ".ckpt.json"))
+    assert "re" not in ck2
+    assert ck2["next_chunk"] == 3
+    for name in ("Hufman", "delta"):
+        assert ck2["acc"][name] == ck0["acc"][name]
+    assert ck2["acc"]["cluster-colors_4"]["images"] == 6
+
+
+def test_remeasure_resumes_mid_kill(tmp_path, corpus, monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    first = json.load(open(out))
+    full_ck = json.load(open(out + ".ckpt.json"))
+
+    # accumulators a kill after remeasure-chunk 2-of-3 leaves behind: the
+    # remeasured leg holds the first two chunks' worth, others are complete
+    partial_out = str(tmp_path / "partial.json")
+    assert _run(["--chunk=2", f"--out={partial_out}"] + corpus[:4],
+                monkeypatch) == 0
+    part_acc = json.load(open(partial_out + ".ckpt.json"))["acc"]
+    ck = dict(full_ck)
+    ck["acc"] = dict(full_ck["acc"])
+    ck["acc"]["cluster-colors_4"] = part_acc["cluster-colors_4"]
+    ck["re"] = {"specs": ["cluster-colors(4)"], "next_chunk": 2}
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+
+    # plain --resume and --finalize must refuse the unfinished remeasure
+    assert _run(["--chunk=2", f"--out={out}", "--resume"] + corpus,
+                monkeypatch) == 1
+    assert _run(["--chunk=2", f"--out={out}", "--finalize"] + corpus,
+                monkeypatch) == 1
+
+    assert _run(["--chunk=2", f"--out={out}", "--resume",
+                 "--remeasure=cluster-colors(4)"] + corpus, monkeypatch) == 0
+    resumed = json.load(open(out))
+    assert _nontiming(resumed) == _nontiming(first)
+    assert "re" not in json.load(open(out + ".ckpt.json"))
+
+
+def test_remeasure_refuses_incomplete_checkpoint(tmp_path, corpus,
+                                                 monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus[:4], monkeypatch) == 0
+    ck = json.load(open(out + ".ckpt.json"))
+    ck["paths_sha"] = northstar._paths_sha(sorted(corpus))
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+    assert _run(["--chunk=2", f"--out={out}",
+                 "--remeasure=cluster-colors(4)"] + corpus, monkeypatch) == 1
+    # a valid spec that is not in the record's codec list refuses too
+    assert _run(["--chunk=2", f"--out={out}",
+                 "--remeasure=cluster-colors(8)"] + corpus,
+                monkeypatch) == 1
+
+
 def test_corpus_change_invalidates_checkpoint(tmp_path, corpus, rng,
                                               monkeypatch):
     out = str(tmp_path / "ns.json")
