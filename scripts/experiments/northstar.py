@@ -157,10 +157,13 @@ def main() -> int:
     t_start = time.time()
 
     # warmup: compile every codec's batch shapes on the first chunk
-    # (untimed; the steady-state claim must not include compiles)
+    # (untimed; the steady-state claim must not include compiles). The
+    # FULL chunk is encoded — production encode_batch sorts 32-image
+    # chunks into sub-chunks whose pad buckets an 8-image warmup misses,
+    # which made chunk 1 of early runs pay timed compiles.
     warm = [image_io.load_image(p) for p in groups[0]]
     for codec in run_codecs:
-        codec.encode_batch(warm[: min(8, len(warm))])
+        codec.encode_batch(warm)
     print(f"warmup done ({time.time()-t_start:.0f}s)", flush=True)
 
     for gi in range(start_chunk, len(groups)):
