@@ -69,7 +69,8 @@ def main() -> int:
     vo = from_spec("voronoi(128)")
     groups = [paths[i:i + CHUNK] for i in range(0, len(paths), CHUNK)]
     imgs_by_chunk = [[image_io.load_image(p) for p in g] for g in groups]
-    mp = sum(im.shape[0] * im.shape[1] for im in imgs_by_chunk[0]) / 1e6
+    mp_of = [sum(im.shape[0] * im.shape[1] for im in ch) / 1e6
+             for ch in imgs_by_chunk]
 
     # warmup on chunk 0 (both codecs, all shapes)
     t0 = time.time()
@@ -90,18 +91,19 @@ def main() -> int:
     for label, mode in (("A cluster-only", "a"),
                         ("B +own-decode", "b"),
                         ("C full-NS-order", "c")):
-        ts = []
-        for imgs in work:
+        ts, mps = [], []
+        for ci, imgs in enumerate(work, start=1):
             b, dt = cc_leg(imgs)
             ts.append(dt)
+            mps.append(mp_of[ci])
             if mode in ("b", "c"):
                 _decode_verify(cc, b, imgs)
             if mode == "c":
                 vb = vo.encode_batch(imgs)
                 _decode_verify(vo, vb, imgs)
-        rates = "/".join(f"{mp/t:.2f}" for t in ts)
+        rates = "/".join(f"{m/t:.2f}" for m, t in zip(mps, ts))
         print(f"{label}: cluster enc {rates} MP/s "
-              f"(mean {mp*len(ts)/sum(ts):.2f})", flush=True)
+              f"(mean {sum(mps)/sum(ts):.2f})", flush=True)
     return 0
 
 

@@ -128,7 +128,15 @@ def main() -> int:
             return 1
         acc = ck["acc"]
         prev = ck.get("re")
-        if resume and prev and set(prev["specs"]) == set(remeasure):
+        if prev and set(prev["specs"]) != set(remeasure):
+            # a different unfinished remeasure left partial accumulators
+            # in acc for ITS legs; splicing around them would bake the
+            # partial legs into a checkpoint that reads as complete
+            print("checkpoint holds an unfinished --remeasure of a"
+                  f" different spec set ({prev['specs']}); finish or"
+                  " restart that one first", file=sys.stderr)
+            return 1
+        if resume and prev:
             start_chunk = prev["next_chunk"]
             print(f"resuming remeasure at chunk {start_chunk}", flush=True)
         else:

@@ -222,6 +222,25 @@ def test_remeasure_refuses_incomplete_checkpoint(tmp_path, corpus,
                 monkeypatch) == 1
 
 
+def test_remeasure_refuses_other_specs_unfinished_remeasure(
+        tmp_path, corpus, monkeypatch):
+    """A killed remeasure leaves partial accumulators for ITS legs; a
+    remeasure of a DIFFERENT spec set must refuse rather than strip the
+    're' key and bake the partial legs into a 'complete' checkpoint."""
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    ck = json.load(open(out + ".ckpt.json"))
+    ck["acc"]["cluster-colors_4"]["images"] = 2  # partial, mid-kill
+    ck["re"] = {"specs": ["cluster-colors(4)"], "next_chunk": 1}
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+    assert _run(["--chunk=2", f"--out={out}", "--remeasure=delta"] + corpus,
+                monkeypatch) == 1
+    # the checkpoint is untouched: the unfinished remeasure is preserved
+    ck2 = json.load(open(out + ".ckpt.json"))
+    assert ck2["re"] == {"specs": ["cluster-colors(4)"], "next_chunk": 1}
+    assert ck2["acc"]["cluster-colors_4"]["images"] == 2
+
+
 def test_corpus_change_invalidates_checkpoint(tmp_path, corpus, rng,
                                               monkeypatch):
     out = str(tmp_path / "ns.json")
