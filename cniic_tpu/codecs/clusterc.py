@@ -220,10 +220,13 @@ class VoronoiCluster(Codec):
         # each centroid costs exactly 19 wire bytes (u32 x, u32 y, 11-byte
         # Rgb): an untrusted k beyond what the stream can hold must die
         # before the (k, 2) allocation (fuzz harness: a corrupt count asked
-        # for 4 EiB)
-        if k > r.remaining() // 19:
+        # for 4 EiB). k == 0 is equally malformed — no encoder produces it
+        # (the k-means floor rejects k < 1) and decoding it would fabricate
+        # an all-black image where the reference's min_by_key over an empty
+        # centroid set panics (clusterc.rs:143-297)
+        if k == 0 or k > r.remaining() // 19:
             raise wire.WireError(
-                f"voronoi centroid count {k} exceeds stream capacity")
+                f"voronoi centroid count {k} invalid for stream capacity")
         xy = np.empty((k, 2), dtype=np.uint32)
         colors = np.empty((k, 3), dtype=np.uint8)
         for i in range(k):

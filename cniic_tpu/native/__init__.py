@@ -130,6 +130,8 @@ def _load() -> ctypes.CDLL:
         lib.huf_lengths.restype = ctypes.c_int
         lib.huf_canonical.argtypes = [u32p, i64, u64p, u8p, i32p]
         lib.huf_canonical.restype = ctypes.c_int
+        lib.huf_tree_count.argtypes = [u8p, i64, i64, i64p]
+        lib.huf_tree_count.restype = i64
         lib.huf_tree_parse.argtypes = [u8p, i64, i64, i32p, i32p, i32p, i64p, i64, i64p]
         lib.huf_tree_parse.restype = i64
         lib.pack_bits.argtypes = [u64p, u32p, i32p, i64, u8p]
@@ -516,7 +518,15 @@ def huf_tree_parse(data, leaf_size: int):
     n_nodes consumed_bytes)."""
     lib = _load()
     arr = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
-    max_nodes = arr.size + 1
+    # exact-size the tables with a tag-only counting pass: `data` is the
+    # whole remaining stream (tree + multi-MB payload), so sizing from its
+    # length transiently allocated ~20 bytes per stream byte per decode
+    consumed0 = ctypes.c_int64()
+    n_count = lib.huf_tree_count(_as_u8p(arr), arr.size, leaf_size,
+                                 ctypes.byref(consumed0))
+    if n_count < 0:
+        raise ValueError("malformed Huffman tree stream")
+    max_nodes = n_count
     left = np.empty(max_nodes, dtype=np.int32)
     right = np.empty(max_nodes, dtype=np.int32)
     symbol = np.empty(max_nodes, dtype=np.int32)

@@ -1703,6 +1703,34 @@ EXPORT int huf_canonical(const uint32_t *lens, int64_t u,
     return 0;
 }
 
+/* Count the nodes of a preorder-serialized trie without building tables.
+ * The tag stream alone determines the structure: start expecting one node;
+ * a branch tag adds two expected children, a leaf tag skips its payload.
+ * Returns the node count (and sets *consumed) so the caller can allocate
+ * the parse tables exactly — sizing them from the whole stream (tree +
+ * payload) transiently cost ~20 bytes per stream byte on multi-MB streams.
+ * -1 on malformed input (same acceptance set as huf_tree_parse). */
+EXPORT int64_t huf_tree_count(const uint8_t *data, int64_t len,
+                              int64_t leaf_size, int64_t *consumed) {
+    int64_t pos = 0, n_nodes = 0, open = 1;
+    while (open > 0) {
+        if (pos >= len) return -1;
+        uint8_t tag = data[pos++];
+        open--;
+        n_nodes++;
+        if (tag == 1) {
+            open += 2;
+        } else if (tag == 0) {
+            if (pos + leaf_size > len) return -1;
+            pos += leaf_size;
+        } else {
+            return -1;
+        }
+    }
+    *consumed = pos;
+    return n_nodes;
+}
+
 /* Parse a preorder-serialized trie (tag byte 0=leaf/1=branch; leaves carry a
  * fixed-size payload; huf.rs:296-348). Outputs flattened node tables for
  * huf_decode plus the byte offset of each leaf payload.

@@ -50,6 +50,10 @@ jax.config.update("jax_enable_x64", True)
 CHUNK_BYTES = 512
 E = 32                      # entry offsets covered; > max code bits in practice
 _STEPS = CHUNK_BYTES * 8 + E
+# bit positions ride int32 lanes on device: payloads of >= 2^31 bits
+# (256 MB — reachable under the 2^27-pixel cap at >16 avg bits/symbol)
+# must fall back to the host decoder instead of wrapping chunk offsets
+_MAX_PAYLOAD_BYTES = 1 << 28
 
 
 def _walk_body(payload, lr2, ends, total_bits):
@@ -134,7 +138,8 @@ def decode_payload_device(payload, left, right, symbol,
     (degenerate tree, empty payload, or a code deeper than E crossed a
     chunk boundary)."""
     pay = np.frombuffer(bytes(payload), dtype=np.uint8)
-    if pay.size < CHUNK_BYTES or symbol[0] >= 0 or n_symbols == 0:
+    if (pay.size < CHUNK_BYTES or pay.size >= _MAX_PAYLOAD_BYTES
+            or symbol[0] >= 0 or n_symbols == 0):
         return None
     total_bits = pay.size * 8
     C = -(-pay.size // CHUNK_BYTES)

@@ -803,6 +803,10 @@ def _prep_host_batch(points_list, k: int, weights_list, w_bound=None):
 def _validate_lane(p: np.ndarray, wl, k: int) -> None:
     """Cheap per-lane feasibility checks (no padding, no uploads)."""
     n = p.shape[0]
+    if k < 1:
+        # before n // k: k == 0 must reject like every other infeasible k,
+        # not escape collect-mode's ValueError isolation as ZeroDivisionError
+        raise ValueError(f"k-means needs k >= 1 (got {k})")
     if n < k:
         raise ValueError(f"k-means needs at least k points ({n} < {k})")
     if n // k == 0:
@@ -1101,6 +1105,8 @@ def voronoi_centroids_batch(imgs: np.ndarray, k: int,
             return outs, dev
         return outs
     try:
+        if k < 1:
+            raise ValueError(f"k-means needs k >= 1 (got {k})")
         if n < k:
             raise ValueError(f"k-means needs at least k points ({n} < {k})")
         if n // k == 0:

@@ -228,10 +228,18 @@ def _verify_group(codec: Codec, loaded, output_dir: str, res: BenchResult,
 
     if fused_fetch is not None:
         # untimed: the PNG-save protocol (bench.rs:50-56) still wants the
-        # decoded images on disk for every lossy image
-        fetched = fused_fetch()
-        for j, i in enumerate(ok_idx):
-            decoded_all[i] = fetched[j]
+        # decoded images on disk for every lossy image. A fetch failure must
+        # not abort the run (per-image continue-on-error, bench.rs:78): the
+        # row loop below decodes per image when decoded_all[i] stays None,
+        # and the already-fetched MSE scalars remain valid.
+        try:
+            fetched = fused_fetch()
+        except Exception as e:
+            print(f"warning: {codec.name} decoded-image fetch failed "
+                  f"({e!r}); falling back to per-image decode")
+        else:
+            for j, i in enumerate(ok_idx):
+                decoded_all[i] = fetched[j]
 
     for p, img, data, decoded, error in zip(names, imgs, blobs, decoded_all,
                                             errors_all):

@@ -397,3 +397,62 @@ def test_fused_delta_decode_range_check(rng):
     with pytest.raises(ValueError):
         native.delta_unpack(leaf, np.array([1], np.int32),
                             np.zeros(1, np.int64))
+
+
+def test_voronoi_zero_centroid_stream_rejected():
+    """A centroid count of 0 is malformed: no encoder produces it (the
+    k-means floor rejects k < 1) and the reference's min_by_key over an
+    empty centroid set panics (clusterc.rs:143-297) — decode must raise
+    WireError instead of fabricating an all-black image (review r5)."""
+    codec = from_spec("voronoi(8)")
+    blob = wire.pack_dims(6, 4) + wire.pack_u64(0)
+    with pytest.raises(wire.WireError):
+        codec.decode(blob)
+
+
+def test_kmeans_codecs_reject_k_zero(rng):
+    """voronoi(0) / cluster-colors(0) parse (the grammar accepts any \\d+,
+    prs.rs parity) but must fail encode with the clean per-lane ValueError
+    every other infeasible k produces — not a ZeroDivisionError escaping
+    collect-mode isolation (review r5)."""
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    for spec in ("voronoi(0)", "cluster-colors(0)"):
+        codec = from_spec(spec)
+        with pytest.raises(ValueError):
+            codec.encode(img)
+        lanes = codec.encode_batch([img, img])
+        assert all(isinstance(b, ValueError) for b in lanes)
+
+
+def test_runner_survives_fused_fetch_failure(tmp_path, rng):
+    """A failure in the fused path's untimed decoded-image fetch must not
+    abort the run: rows fall back to per-image decode (bench.rs:78
+    continue-on-error; review r5)."""
+    import os
+
+    from cniic_tpu import image_io, runner
+
+    paths = []
+    for i in range(2):
+        img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        p = tmp_path / f"im{i}.png"
+        image_io.save_png(img, str(p))
+        paths.append(str(p))
+
+    codec = from_spec("voronoi(8)")
+    real = codec.decode_mse_batch
+
+    def broken_fetch(blobs, imgs):
+        mses, _ = real(blobs, imgs)
+
+        def fetch():
+            raise RuntimeError("transient fetch failure")
+
+        return mses, fetch
+
+    codec.decode_mse_batch = broken_fetch
+    res = runner.measure_all(codec, paths, output_dir=str(tmp_path / "out"),
+                             verbose=False, batch=2)
+    assert len(res.rows) == 2 and not res.failures
+    for i in range(2):  # lossy PNGs still saved via the per-image fallback
+        assert os.path.exists(tmp_path / "out" / f"im{i}.png")

@@ -73,3 +73,17 @@ def test_env_gate_roundtrip(rng, monkeypatch):
     monkeypatch.setattr(hufdec, "decode_payload_device", spy)
     assert np.array_equal(codec.decode(data), img)
     assert engaged and all(engaged), "device decode path never engaged"
+
+
+def test_device_decode_oversize_payload_falls_back(rng, monkeypatch):
+    """Bit positions ride int32 lanes: payloads at/over _MAX_PAYLOAD_BYTES
+    must return None (host fallback) before any chunk math wraps (review
+    r5). Exercised by shrinking the cap — a real 256 MB payload would be
+    CI-hostile."""
+    freqs = rng.integers(1, 1000, 300).astype(np.uint64)
+    ids = rng.integers(0, 300, 40_000)
+    payload, left, right, symbol = _stream(freqs, ids)
+    assert len(payload) >= hufdec.CHUNK_BYTES
+    monkeypatch.setattr(hufdec, "_MAX_PAYLOAD_BYTES", len(payload))
+    assert hufdec.decode_payload_device(payload, left, right, symbol,
+                                        ids.size) is None

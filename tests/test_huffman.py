@@ -284,3 +284,39 @@ def test_hist_u32_top_key_sentinel():
     u2, inv2, c2 = np.unique(k, return_inverse=True, return_counts=True)
     assert np.array_equal(u, u2) and np.array_equal(c, c2)
     assert np.array_equal(inv, inv2.astype(np.int32))
+
+
+def test_tree_count_matches_parse(rng):
+    """huf_tree_count (the table-sizing pass, review r5) must agree with
+    huf_tree_parse on nodes/consumed for shallow, deep (geometric
+    frequencies), and single-leaf trees — with a multi-MB payload appended,
+    since parse receives the whole remaining stream."""
+    import ctypes
+
+    from cniic_tpu import native
+
+    lib = native._load()
+    cases = [
+        rng.integers(1, 1000, 500).astype(np.uint64),     # bushy
+        (2.0 ** np.arange(40)).astype(np.uint64),         # max-depth chain
+        np.array([7], np.uint64),                         # single leaf
+    ]
+    for freqs in cases:
+        book = huffman.build_codebook(freqs)
+        payloads = rng.integers(0, 256, (freqs.size, 11)).astype(np.uint8)
+        tree = huffman.serialize_tree(book, payloads)
+        data = np.frombuffer(tree + bytes(2_000_000), np.uint8)
+        consumed = ctypes.c_int64()
+        n = lib.huf_tree_count(native._as_u8p(data), data.size, 11,
+                               ctypes.byref(consumed))
+        assert n == 2 * freqs.size - 1
+        assert consumed.value == len(tree)
+        left, right, symbol, got, consumed2 = huffman.parse_tree(data, 11)
+        assert len(left) == n and consumed2 == len(tree)
+        # preorder leaf order; every payload appears exactly once
+        assert sorted(map(bytes, got)) == sorted(map(bytes, payloads))
+    # malformed streams still reject via the counting pass
+    with pytest.raises(ValueError):
+        huffman.parse_tree(np.frombuffer(b"\x02", np.uint8), 11)
+    with pytest.raises(ValueError):
+        huffman.parse_tree(np.frombuffer(b"\x01\x00", np.uint8), 11)

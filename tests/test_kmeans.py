@@ -644,3 +644,16 @@ def test_pad_bucket_ladder_properties():
         p = _pad_bucket(n, bs)
         assert p >= prev  # monotone: a bigger batch never pads smaller
         prev = p
+
+
+def test_k_zero_rejected_everywhere(rng):
+    """k == 0 must reject with ValueError at every entry point — before any
+    n // k — and stay inside collect-mode's per-lane isolation (review r5)."""
+    pts = rng.integers(0, 256, (50, 3)).astype(np.int64)
+    with pytest.raises(ValueError):
+        kmeans.kmeans(pts, 0)
+    out = kmeans.kmeans_batch([pts, pts], 0, on_error="collect")
+    assert all(isinstance(r, ValueError) for r in out)
+    imgs = rng.integers(0, 256, (2, 6, 6, 3)).astype(np.uint8)
+    out = kmeans.voronoi_centroids_batch(imgs, 0, on_error="collect")
+    assert all(isinstance(r, ValueError) for r in out)
