@@ -527,10 +527,11 @@ def huf_tree_parse(data, leaf_size: int):
     if n_count < 0:
         raise ValueError("malformed Huffman tree stream")
     max_nodes = n_count
+    n_leaves = (n_count + 1) // 2  # preorder trie: leaves = (nodes+1)/2
     left = np.empty(max_nodes, dtype=np.int32)
     right = np.empty(max_nodes, dtype=np.int32)
     symbol = np.empty(max_nodes, dtype=np.int32)
-    payload_off = np.empty(max_nodes, dtype=np.int64)
+    payload_off = np.empty(n_leaves, dtype=np.int64)
     consumed = ctypes.c_int64()
     n = lib.huf_tree_parse(
         _as_u8p(arr), arr.size, leaf_size, _as_i32p(left), _as_i32p(right),
@@ -538,9 +539,10 @@ def huf_tree_parse(data, leaf_size: int):
         max_nodes, ctypes.byref(consumed))
     if n < 0:
         raise ValueError("malformed Huffman tree stream")
-    n_leaves = (n + 1) // 2
-    return (left[:n].copy(), right[:n].copy(), symbol[:n].copy(),
-            payload_off[:n_leaves].copy(), int(n), int(consumed.value))
+    # the count and parse passes walk the same tag stream, so n == max_nodes
+    # on success: the tables are exact-size, no trailing slack to trim
+    assert n == max_nodes, (n, max_nodes)
+    return (left, right, symbol, payload_off, int(n), int(consumed.value))
 
 
 def approx_rle_encode(rgb: np.ndarray, allow: float):

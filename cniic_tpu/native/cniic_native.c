@@ -1735,7 +1735,8 @@ EXPORT int64_t huf_tree_count(const uint8_t *data, int64_t len,
  * fixed-size payload; huf.rs:296-348). Outputs flattened node tables for
  * huf_decode plus the byte offset of each leaf payload.
  *   left/right/symbol: caller-allocated, >= max_nodes entries
- *   payload_off:       caller-allocated, >= max_nodes entries
+ *   payload_off:       caller-allocated, >= (max_nodes+1)/2 entries (one
+ *                      per leaf; a walk of n nodes holds <= (n+1)/2 leaves)
  * Returns number of nodes, and sets *consumed; -1 on malformed input. The
  * root is node 0. symbol[i] numbers leaves in preorder order.
  */

@@ -247,9 +247,15 @@ def _verify_group(codec: Codec, loaded, output_dir: str, res: BenchResult,
             if isinstance(data, Exception):
                 raise data
             if decoded is None:
+                # error already set means the fused path timed this image's
+                # decode leg and only the untimed image fetch failed: the
+                # fallback decode here exists for the PNG-save protocol and
+                # must not count the leg twice
+                timed = error is None
                 t1 = time.perf_counter()
                 decoded = codec.decode(data)
-                res.decode_s += time.perf_counter() - t1
+                if timed:
+                    res.decode_s += time.perf_counter() - t1
             h, w = img.shape[:2]
             ratio = len(data) / (w * h * 24)
             if error is None:

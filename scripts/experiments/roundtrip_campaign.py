@@ -15,7 +15,8 @@ asserting the contracts the unit suite pins at fixed seeds:
 3. Lossless codecs round-trip bit-exact; lossy decodes return the right
    shape/dtype, and a voronoi(k) stream is exactly 16+19k bytes by
    construction (clusterc.rs:143-297).
-4. ``decode_mse_batch`` (when present) agrees with decode + compute_error.
+4. ``decode_batch`` lanes equal per-image ``decode``, and
+   ``decode_mse_batch`` (when present) agrees with decode + compute_error.
 5. Re-encoding the same batch is deterministic (byte-identical).
 
 Any violation dumps a reproduction JSON (seed, shapes, spec) next to this
@@ -46,7 +47,10 @@ SPECS = ["hufman", "delta", "hilbert(rle)", "hilbert(rle(3))",
          "hilbert(zip)", "zip(dict)", "zip(back)",
          "cluster-colors(4)", "cluster-colors(16)",
          "voronoi(4)", "voronoi(32)"]
-ALLOWED = (ValueError,)
+# the legitimate per-lane rejection family: infeasibility ValueErrors plus
+# the k-means active-cluster floor, which raises AssertionError in raise
+# mode and stores it in collect-mode lanes (kmeans.py _check_active)
+ALLOWED = (ValueError, AssertionError)
 
 
 def _rand_shape(rng) -> tuple[int, int]:
@@ -196,6 +200,15 @@ def main() -> int:
             if blobs is not None and seed % 7 == 0:
                 ok = [i for i, b in enumerate(blobs)
                       if not isinstance(b, Exception)]
+                # decode_batch lanes must equal per-image decode (the
+                # runner's non-fused batch path rides this)
+                if ok:
+                    decs = codec.decode_batch([blobs[i] for i in ok])
+                    for j, i in enumerate(ok):
+                        if not np.array_equal(decs[j], codec.decode(blobs[i])):
+                            findings += 1
+                            _fail("decode_batch_lane", spec, seed, imgs,
+                                  f"lane {i}: batch decode != single decode")
                 fused = getattr(codec, "decode_mse_batch", None)
                 if fused is not None and ok:
                     errs, _ = fused([blobs[i] for i in ok],

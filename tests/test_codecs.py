@@ -1,5 +1,7 @@
 """End-to-end codec round trips and wire-level format checks."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -451,8 +453,22 @@ def test_runner_survives_fused_fetch_failure(tmp_path, rng):
         return mses, fetch
 
     codec.decode_mse_batch = broken_fetch
+
+    # the fallback decode exists only for the PNG-save protocol: the fused
+    # path already timed the decode leg, so it must stay out of decode_s
+    # (review r5 double-count). A deliberately slow decode makes any
+    # double-count unmissable against the ~ms fused leg.
+    real_decode = codec.decode
+
+    def slow_decode(data):
+        time.sleep(0.2)
+        return real_decode(data)
+
+    codec.decode = slow_decode
     res = runner.measure_all(codec, paths, output_dir=str(tmp_path / "out"),
                              verbose=False, batch=2)
     assert len(res.rows) == 2 and not res.failures
     for i in range(2):  # lossy PNGs still saved via the per-image fallback
         assert os.path.exists(tmp_path / "out" / f"im{i}.png")
+    assert res.decode_s < 0.2, (
+        f"fallback decodes leaked into decode_s ({res.decode_s:.3f}s)")
