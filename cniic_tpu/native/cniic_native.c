@@ -1463,22 +1463,27 @@ static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
     return u;
 }
 
-/* Single-pass open-addressing histogram for LOW-UNIQUE key streams.
+/* Single-pass open-addressing histogram with ADAPTIVE table sizing.
  * Slot layout: key<<32 | (provisional_id + 1); 0 = empty. The provisional
  * ids are assigned in first-appearance order, then remapped to ascending-
  * key rank so the output (uniq asc, counts, inverse) is bit-identical to
  * the radix path. Returns -2 when the stream is not hash-friendly (too
- * many uniques — the table would outgrow L2 and the streaming radix wins;
- * measured r4: hash 4.9x faster at 9k uniques, 2.5x slower at 340k).
+ * many uniques — the streaming radix wins there).
+ *
+ * r5 re-measurement: the r4 single-tier table (2^16 slots, bail at 16k
+ * uniques) assumed a 512 KB L2; this host has a 2 MB L2 + large L3, and a
+ * probe over real key streams (BENCH_NOTES "adaptive hash histogram")
+ * measured, vs the radix path, per 1 MP:
+ *   10k uniques (delta diffs):   3.5 ms vs 23.6   (2^17 slots)
+ *   47k uniques (hufman colors): 5.1 ms vs 16.4   (2^19)
+ *   99k / 184k / 250k uniques:   12 / 17 / 20 vs ~22-25  (2^19-2^20)
+ *   323k / 615k uniques:         24 / 30 vs ~23   (radix wins)
+ * Crossover ~300k uniques. The stride-sample's distinct count (ds of
+ * 32768) discriminates the regimes (measured: 4.2k / 15.5k / 21.2k /
+ * 23.9k / 25.4k / 26.6k / 32.0k for the streams above), so the tier is
+ * chosen from ds and the in-pass unique cap stays as the backstop for
+ * sample under-estimates (a bailed pass costs a bounded partial scan).
  */
-#define HASH_TLG 16            /* 2^16 slots = 512 KB, L2-resident */
-#define HASH_UCAP 16384        /* bail beyond this many uniques (load 25%) */
-
-static int cmp_u64_asc(const void *x, const void *y) {
-    uint64_t a = *(const uint64_t *)x, b = *(const uint64_t *)y;
-    return a < b ? -1 : a > b;
-}
-
 static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
                              uint32_t *uniq, int64_t *counts,
                              int32_t *inverse) {
@@ -1506,23 +1511,37 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
             if (v == want) break;
             h = (h + 1) & smask;
         }
-        if (ds > HASH_UCAP * 5 / 8) { free(stab); return -2; }
+        /* early exit once the radix regime is certain; this also bounds
+         * the sample table's load at 26000/2^15 = 79% so its own linear
+         * probing never degenerates near full */
+        if (ds > 26000) { free(stab); return -2; }
     }
     free(stab);
 
-    uint64_t *tab = (uint64_t *)calloc((size_t)1 << HASH_TLG, sizeof(uint64_t));
-    uint32_t *ukey = (uint32_t *)malloc(HASH_UCAP * sizeof(uint32_t));
-    int64_t *ucnt = (int64_t *)malloc(HASH_UCAP * sizeof(int64_t));
+    /* tier choice (measured thresholds above; ucap keeps worst-case load
+     * <= ~38% except the top tier, capped at the ~300k crossover) */
+    int tlg;
+    int64_t ucap;
+    if (ds > 26000) return -2;                       /* radix regime */
+    else if (ds > 20000) { tlg = 20; ucap = 300000; }
+    else if (ds > 8000)  { tlg = 19; ucap = 196608; }
+    else                 { tlg = 17; ucap = 49152; }
+    if (ucap > n) ucap = n;                          /* u can never exceed n */
+
+    uint64_t *tab = (uint64_t *)calloc((size_t)1 << tlg, sizeof(uint64_t));
+    uint32_t *ukey = (uint32_t *)malloc((size_t)ucap * sizeof(uint32_t));
+    int64_t *ucnt = (int64_t *)malloc((size_t)ucap * sizeof(int64_t));
     if (!tab || !ukey || !ucnt) { free(tab); free(ukey); free(ucnt); return -2; }
-    const uint32_t tmask = ((uint32_t)1 << HASH_TLG) - 1;
+    const uint32_t tmask = ((uint32_t)1 << tlg) - 1;
+    const int tshift = 32 - tlg;
     int64_t u = 0;
     for (int64_t i = 0; i < n; i++) {
         uint32_t k = keys[i];
-        uint32_t h = (uint32_t)(k * 2654435761u) >> (32 - HASH_TLG);
+        uint32_t h = (uint32_t)(k * 2654435761u) >> tshift;
         for (;;) {
             uint64_t s = tab[h];
             if (!s) {
-                if (u == HASH_UCAP) {  /* sample under-estimated: bail */
+                if (u == ucap) {  /* sample under-estimated: bail */
                     free(tab); free(ukey); free(ucnt);
                     return -2;
                 }
@@ -1543,13 +1562,28 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
         }
     }
     free(tab);
-    /* remap provisional (first-appearance) ids to ascending-key rank */
+    /* remap provisional (first-appearance) ids to ascending-key rank via
+     * a 2x16-bit LSD radix sort of (key<<32 | prov) — qsort at 46k+
+     * uniques costs whole milliseconds, the radix is two linear passes */
     uint64_t *sk = (uint64_t *)malloc((size_t)u * sizeof(uint64_t));
+    uint64_t *sb = (uint64_t *)malloc((size_t)u * sizeof(uint64_t));
+    int64_t *h16 = (int64_t *)malloc(65536 * sizeof(int64_t));
     int32_t *rank = (int32_t *)malloc((size_t)u * sizeof(int32_t));
-    if (!sk || !rank) { free(sk); free(rank); free(ukey); free(ucnt); return -2; }
+    if (!sk || !sb || !h16 || !rank) {
+        free(sk); free(sb); free(h16); free(rank); free(ukey); free(ucnt);
+        return -2;
+    }
     for (int64_t j = 0; j < u; j++)
         sk[j] = ((uint64_t)ukey[j] << 32) | (uint32_t)j;
-    qsort(sk, (size_t)u, sizeof(uint64_t), cmp_u64_asc);
+    for (int p = 0; p < 2; p++) {
+        int shift = 32 + 16 * p;
+        memset(h16, 0, 65536 * sizeof(int64_t));
+        for (int64_t j = 0; j < u; j++) h16[(sk[j] >> shift) & 0xFFFF]++;
+        int64_t sum = 0;
+        for (int j = 0; j < 65536; j++) { int64_t c = h16[j]; h16[j] = sum; sum += c; }
+        for (int64_t j = 0; j < u; j++) sb[h16[(sk[j] >> shift) & 0xFFFF]++] = sk[j];
+        uint64_t *t = sk; sk = sb; sb = t;
+    }
     for (int64_t j = 0; j < u; j++) {
         uint32_t prov = (uint32_t)sk[j];
         rank[prov] = (int32_t)j;
@@ -1557,7 +1591,7 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
         counts[j] = ucnt[prov];
     }
     for (int64_t i = 0; i < n; i++) inverse[i] = rank[inverse[i]];
-    free(sk); free(rank); free(ukey); free(ucnt);
+    free(sk); free(sb); free(h16); free(rank); free(ukey); free(ucnt);
     return u;
 }
 
