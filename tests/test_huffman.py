@@ -273,6 +273,44 @@ def test_hist_u32_hash_and_radix_paths_agree(rng):
     assert np.array_equal(inv, inv2.astype(np.int32))
 
 
+def test_hist_u32_adaptive_tiers_agree(rng):
+    """r5 adaptive table sizing: streams landing in each sample-ds tier
+    (2^17 / 2^19 / 2^20), the radix regime, and the in-pass bail (a
+    sample under-estimate) must all be output-identical to numpy."""
+    from cniic_tpu import native
+
+    n = 1 << 20
+    # pool sizes whose realized unique counts land in the three hash tiers
+    # and the radix regime (measured ds ≈ 15.5k at 47k uniques, ≈ 25k at
+    # 250k, > 26k beyond ~320k — BENCH_NOTES "adaptive hash-histogram")
+    for space in (5_000, 47_000, 250_000, 420_000):
+        pool = rng.integers(0, 1 << 24, space, dtype=np.uint64
+                            ).astype(np.uint32)
+        keys = pool[rng.integers(0, space, n)]
+        u, c, inv = native.hist_u32(keys)
+        u2, inv2, c2 = np.unique(keys, return_inverse=True,
+                                 return_counts=True)
+        assert np.array_equal(u, u2), space
+        assert np.array_equal(c, c2), space
+        assert np.array_equal(inv, inv2.astype(np.int32)), space
+
+    # in-pass bail: a low-ds mixture (90% from a 1k pool) whose total
+    # unique count exceeds the chosen tier's cap — the pass must abandon
+    # the hash mid-stream and the radix result must come back identical
+    pool_small = rng.integers(0, 1 << 24, 1_000, dtype=np.uint64
+                              ).astype(np.uint32)
+    keys = pool_small[rng.integers(0, 1_000, n)]
+    distinct = rng.permutation((1 << 25) + np.arange(120_000)
+                               ).astype(np.uint32)
+    idx = rng.choice(n, 120_000, replace=False)
+    keys[idx] = distinct
+    u, c, inv = native.hist_u32(keys)
+    u2, inv2, c2 = np.unique(keys, return_inverse=True, return_counts=True)
+    assert u.shape[0] > 49_152  # really exceeded the 2^17 tier's cap
+    assert np.array_equal(u, u2) and np.array_equal(c, c2)
+    assert np.array_equal(inv, inv2.astype(np.int32))
+
+
 def test_hist_u32_top_key_sentinel():
     """0xFFFFFFFF must not collide with the hash tables' empty sentinel
     (k+1 wrapped to 0 in a u32 slot before the r4 review fix)."""
