@@ -32,6 +32,12 @@ COMPLETED checkpoint (the way to update legs whose engines changed without
 re-paying the untouched legs); progress checkpoints under a "re" key so a
 killed remeasure resumes, and a checkpoint holding an unfinished remeasure
 refuses plain --resume/--finalize until the remeasure completes.
+--trials=N (remeasure only, default 1) runs N independent full-corpus
+passes per leg and splices the per-leg MEDIAN encode/decode seconds —
+the variance-resolution protocol for legs whose single-pass reading sits
+inside the documented shared-vCPU swing. Output accumulators (bytes, MSE,
+image/MP counts) must be identical across passes (asserted — a free
+determinism check); only the timing fields take the median.
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ import hashlib
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -73,6 +80,7 @@ def main() -> int:
     baseline_name = "BASELINE_HOST.json"
     resume = finalize = False
     remeasure = []
+    trials = 1
     paths = []
     for a in sys.argv[1:]:
         if a.startswith("--chunk="):
@@ -87,6 +95,8 @@ def main() -> int:
             finalize = True
         elif a.startswith("--remeasure="):
             remeasure = [s for s in a.split("=", 1)[1].split(",") if s]
+        elif a.startswith("--trials="):
+            trials = int(a.split("=", 1)[1])
         else:
             paths.extend(sorted(globlib.glob(a)) or [a])
     if not paths:
@@ -94,6 +104,12 @@ def main() -> int:
         return 1
     if finalize and remeasure:
         print("--finalize and --remeasure are exclusive", file=sys.stderr)
+        return 1
+    if trials != 1 and not remeasure:
+        print("--trials requires --remeasure", file=sys.stderr)
+        return 1
+    if trials < 1:
+        print("--trials must be >= 1", file=sys.stderr)
         return 1
     paths = sorted(paths)
     ckpt_path = out_path + ".ckpt.json"
@@ -115,6 +131,8 @@ def main() -> int:
         if ck.get("paths_sha") != _paths_sha(paths):
             ck = None
 
+    done_trials = []
+    trial_start = 0
     if remeasure:
         run_codecs = [from_spec(s) for s in remeasure]
         unknown = [c.name for c in run_codecs if c.name not in acc]
@@ -136,9 +154,17 @@ def main() -> int:
                   f" different spec set ({prev['specs']}); finish or"
                   " restart that one first", file=sys.stderr)
             return 1
+        if prev and prev.get("trials", 1) != trials:
+            print("checkpoint holds an unfinished --remeasure with"
+                  f" --trials={prev.get('trials', 1)}; resume with the same"
+                  " trial count", file=sys.stderr)
+            return 1
         if resume and prev:
             start_chunk = prev["next_chunk"]
-            print(f"resuming remeasure at chunk {start_chunk}", flush=True)
+            trial_start = prev.get("trial", 0)
+            done_trials = prev.get("done", [])
+            print(f"resuming remeasure at trial {trial_start + 1} chunk"
+                  f" {start_chunk}", flush=True)
         else:
             for c in run_codecs:
                 acc[c.name] = _fresh()
@@ -174,7 +200,7 @@ def main() -> int:
         codec.encode_batch(warm)
     print(f"warmup done ({time.time()-t_start:.0f}s)", flush=True)
 
-    for gi in range(start_chunk, len(groups)):
+    def _measure_chunk(trial, gi):
         imgs = [image_io.load_image(p) for p in groups[gi]]
         mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
         for codec in run_codecs:
@@ -212,7 +238,7 @@ def main() -> int:
                     time.sleep(20)
             if codec.is_lossless and any(e != 0.0 for e in errs):
                 print(f"FATAL: {codec.name} round-trip failed in chunk {gi}")
-                return 1
+                return False
             a["mp"] += mp
             a["enc_s"] += enc_s
             a["dec_s"] += dec_s
@@ -223,16 +249,58 @@ def main() -> int:
         line = " ".join(
             f"{c.name}:{acc[c.name]['mp']/max(acc[c.name]['enc_s'],1e-9):.1f}"
             for c in run_codecs)
-        print(f"chunk {gi+1}/{len(groups)} ({done_mp:.0f} MP) enc MP/s {line}",
-              flush=True)
+        tri = f"trial {trial+1}/{trials} " if trials > 1 else ""
+        print(f"{tri}chunk {gi+1}/{len(groups)} ({done_mp:.0f} MP)"
+              f" enc MP/s {line}", flush=True)
         state = {"acc": acc,
                  "next_chunk": len(groups) if remeasure else gi + 1,
                  "paths_sha": _paths_sha(paths)}
         if remeasure:
             state["re"] = {"specs": remeasure, "next_chunk": gi + 1}
+            if trials > 1:
+                state["re"].update(trials=trials, trial=trial,
+                                   done=done_trials)
         with open(ckpt_path + ".tmp", "w") as fh:
             json.dump(state, fh)
         os.replace(ckpt_path + ".tmp", ckpt_path)
+        return True
+
+    for trial in range(trial_start, trials):
+        for gi in range(start_chunk if trial == trial_start else 0,
+                        len(groups)):
+            if not _measure_chunk(trial, gi):
+                return 1
+        if trials > 1:
+            # trial complete: stash its leg accumulators, reset for the next
+            done_trials.append({c.name: dict(acc[c.name])
+                                for c in run_codecs})
+            if trial + 1 < trials:
+                for c in run_codecs:
+                    acc[c.name] = _fresh()
+
+    if remeasure and trials > 1:
+        # median splice: the output accumulators must be identical across
+        # trials (the engines are deterministic — this is a free
+        # determinism check at corpus scale); only the timing fields take
+        # the per-leg median of the N independent full-corpus passes.
+        for c in run_codecs:
+            rows = [d[c.name] for d in done_trials]
+            for key in ("mp", "bytes", "mse_sum", "images"):
+                vals = {r[key] for r in rows}
+                if len(vals) > 1:
+                    print(f"FATAL: {c.name} {key} differs across trials:"
+                          f" {sorted(vals)}", file=sys.stderr)
+                    return 1
+            enc_line = " ".join(
+                f"{r['mp']/max(r['enc_s'],1e-9):.2f}" for r in rows)
+            dec_line = " ".join(
+                f"{r['mp']/max(r['dec_s'],1e-9):.2f}" for r in rows)
+            print(f"{c.name} trials enc MP/s [{enc_line}]"
+                  f" dec MP/s [{dec_line}] -> median splice", flush=True)
+            acc[c.name] = dict(
+                rows[0],
+                enc_s=statistics.median(r["enc_s"] for r in rows),
+                dec_s=statistics.median(r["dec_s"] for r in rows))
 
     if remeasure:
         # remeasure complete: strip the "re" progress key so the checkpoint

@@ -241,6 +241,92 @@ def test_remeasure_refuses_other_specs_unfinished_remeasure(
     assert ck2["acc"]["cluster-colors_4"]["images"] == 2
 
 
+def test_remeasure_trials_median_splice(tmp_path, corpus, monkeypatch):
+    """--trials=N: N full passes per remeasured leg, output accumulators
+    asserted identical across passes, median timing spliced — and the
+    accounting (images/MP/bytes) must count the corpus ONCE, not N times."""
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    first = json.load(open(out))
+
+    ck = json.load(open(out + ".ckpt.json"))
+    ck["acc"]["delta"]["enc_s"] *= 1000.0
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+
+    assert _run(["--chunk=2", f"--out={out}", "--remeasure=delta",
+                 "--trials=3"] + corpus, monkeypatch) == 0
+    re = json.load(open(out))
+    assert _nontiming(re) == _nontiming(first)
+    assert re["per_codec_mps"]["delta"] > \
+        first["per_codec_mps"]["delta"] / 100.0
+    ck2 = json.load(open(out + ".ckpt.json"))
+    assert "re" not in ck2
+    assert ck2["acc"]["delta"]["images"] == 6
+    assert ck2["acc"]["delta"]["mp"] == pytest.approx(6 * 24 * 32 / 1e6)
+
+
+def test_remeasure_trials_resume_mid_trial(tmp_path, corpus, monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    first = json.load(open(out))
+    full_ck = json.load(open(out + ".ckpt.json"))
+
+    # a kill mid-trial-2-of-2 after chunk 2-of-3: trial 1's full leg
+    # accumulators sit in "done", the partial trial 2 in acc
+    partial_out = str(tmp_path / "partial.json")
+    assert _run(["--chunk=2", f"--out={partial_out}"] + corpus[:4],
+                monkeypatch) == 0
+    part_acc = json.load(open(partial_out + ".ckpt.json"))["acc"]
+    ck = dict(full_ck)
+    ck["acc"] = dict(full_ck["acc"])
+    ck["acc"]["delta"] = part_acc["delta"]
+    ck["re"] = {"specs": ["delta"], "next_chunk": 2, "trials": 2,
+                "trial": 1, "done": [{"delta": full_ck["acc"]["delta"]}]}
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+
+    # a trial-count mismatch must refuse before touching anything
+    assert _run(["--chunk=2", f"--out={out}", "--resume",
+                 "--remeasure=delta", "--trials=3"] + corpus,
+                monkeypatch) == 1
+    assert _run(["--chunk=2", f"--out={out}", "--resume",
+                 "--remeasure=delta"] + corpus, monkeypatch) == 1
+
+    assert _run(["--chunk=2", f"--out={out}", "--resume",
+                 "--remeasure=delta", "--trials=2"] + corpus,
+                monkeypatch) == 0
+    resumed = json.load(open(out))
+    assert _nontiming(resumed) == _nontiming(first)
+    ck2 = json.load(open(out + ".ckpt.json"))
+    assert "re" not in ck2
+    assert ck2["acc"]["delta"]["images"] == 6
+
+
+def test_remeasure_trials_determinism_check(tmp_path, corpus, monkeypatch):
+    """A cross-trial output mismatch (bytes differ) must abort the splice
+    rather than average non-identical passes."""
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}"] + corpus, monkeypatch) == 0
+    full_ck = json.load(open(out + ".ckpt.json"))
+
+    poisoned = dict(full_ck["acc"]["delta"])
+    poisoned["bytes"] += 1
+    ck = dict(full_ck)
+    ck["re"] = {"specs": ["delta"], "next_chunk": 3, "trials": 2,
+                "trial": 1, "done": [{"delta": poisoned}]}
+    json.dump(ck, open(out + ".ckpt.json", "w"))
+    assert _run(["--chunk=2", f"--out={out}", "--resume",
+                 "--remeasure=delta", "--trials=2"] + corpus,
+                monkeypatch) == 1
+
+
+def test_trials_requires_remeasure(tmp_path, corpus, monkeypatch):
+    out = str(tmp_path / "ns.json")
+    assert _run(["--chunk=2", f"--out={out}", "--trials=3"] + corpus,
+                monkeypatch) == 1
+    assert _run(["--chunk=2", f"--out={out}", "--remeasure=delta",
+                 "--trials=0"] + corpus, monkeypatch) == 1
+
+
 def test_corpus_change_invalidates_checkpoint(tmp_path, corpus, rng,
                                               monkeypatch):
     out = str(tmp_path / "ns.json")
