@@ -211,13 +211,96 @@ EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
 /* Table-accelerated decode: a 16-bit prefix lookup resolves any code of
  * <= 16 bits in one load + shift (DIV2K-scale alphabets average ~14.5
  * bits/code, so a 12-bit table missed most symbols — r3 measured 43 ->
- * 26-29 ms/MP from widening); longer codes continue the trie walk from
- * the internal node the prefix lands on. Works for ANY preorder prefix tree (reference streams
- * included), not just our canonical ones, and decodes bit-for-bit the same
- * symbols as huf_decode (tests pin the equality). ~4x the bit-serial walk.
+ * 26-29 ms/MP from widening); longer codes resolve through adaptively
+ * sized SECOND-LEVEL subtables (r5: at north-star corpus statistics,
+ * 370-440k uniques push average code length past 16 bits, so nearly
+ * every symbol escaped the root table into the bit-serial walk — 88.6
+ * ms/MP measured at 386k uniques vs 16.5 at 48k; a zlib-style subtable
+ * per escaping 16-bit prefix, sized to its subtree's real depth and
+ * capped at HSUB_MAX extra bits, turns an escape into one more indexed
+ * probe). Codes longer than HD_BITS+HSUB_MAX — or escapes past the
+ * bounded arena — continue the trie walk from the stored internal node,
+ * preserving the old path exactly. Works for ANY preorder prefix tree
+ * (reference streams included), not just our canonical ones, and decodes
+ * bit-for-bit the same symbols as huf_decode (tests pin the equality).
  */
 #define HD_BITS 16
 #define HD_SIZE (1 << HD_BITS)
+#define HSUB_MAX 12              /* subtable covers up to 12 more bits */
+#define HSUB_ARENA_CAP (1 << 21) /* total subtable slots across escapes */
+
+/* Packed table entries — ONE 8-byte load per probe level (the decode
+ * chain is latency-bound: split sym/len/node arrays cost up to 5
+ * dependent cache misses per escaped symbol at corpus statistics;
+ * packing collapses that to 2). Tag in bits 62-63:
+ *   root:  0 = leaf (sym in low 32, code len in bits 32-39)
+ *          1 = subtable (arena base in low 32, dm in bits 32-39)
+ *          2 = walk (continue node in low 32)
+ *   arena: 0 = leaf (sym, RELATIVE len in bits 32-39)
+ *          1 = continue walk (node in low 32)
+ */
+#define HD_LEAF(sym, len) (((uint64_t)(uint32_t)(len) << 32) | (uint32_t)(sym))
+#define HD_SUB(base, dm) ((1ULL << 62) | ((uint64_t)(uint32_t)(dm) << 32) | (uint32_t)(base))
+#define HD_WALK(node) ((2ULL << 62) | (uint32_t)(node))
+#define HD_CONT(node) ((1ULL << 62) | (uint32_t)(node))
+
+/* Max depth of any leaf under nd, capped at HSUB_MAX (an internal node
+ * surviving at HSUB_MAX forces the cap). Returns -1 on out-of-range
+ * child indices among the visited nodes. Stack bound: classic DFS on a
+ * binary tree holds at most depth+1 pending nodes. */
+static int hd_sub_depth(const int32_t *left, const int32_t *right,
+                        const int32_t *symbol, int64_t n_nodes, int32_t nd) {
+    int32_t st_n[HSUB_MAX + 2];
+    int8_t st_d[HSUB_MAX + 2];
+    int sp = 0, dm = 1;
+    st_n[sp] = nd; st_d[sp] = 0; sp++;
+    while (sp > 0) {
+        sp--;
+        int32_t x = st_n[sp];
+        int d = st_d[sp];
+        if (x < 0 || x >= n_nodes) return -1;
+        if (symbol[x] >= 0) {
+            if (d > dm) dm = d;
+        } else if (d == HSUB_MAX) {
+            return HSUB_MAX; /* deep subtree: cap (walk handles the rest) */
+        } else {
+            st_n[sp] = left[x]; st_d[sp] = (int8_t)(d + 1); sp++;
+            st_n[sp] = right[x]; st_d[sp] = (int8_t)(d + 1); sp++;
+        }
+    }
+    return dm;
+}
+
+/* Fill a 2^dm-slot subtable for the subtree under nd: leaf at relative
+ * depth d covers its prefix range; an internal node at depth dm stores
+ * the continue node. */
+static int hd_sub_fill(const int32_t *left, const int32_t *right,
+                       const int32_t *symbol, int64_t n_nodes, int32_t nd,
+                       int dm, uint64_t *arena) {
+    int32_t st_n[HSUB_MAX + 2], st_p[HSUB_MAX + 2];
+    int8_t st_d[HSUB_MAX + 2];
+    int sp = 0;
+    st_n[sp] = nd; st_d[sp] = 0; st_p[sp] = 0; sp++;
+    while (sp > 0) {
+        sp--;
+        int32_t x = st_n[sp], pre = st_p[sp];
+        int d = st_d[sp];
+        if (x < 0 || x >= n_nodes) return -1;
+        if (symbol[x] >= 0) {
+            int32_t lo = pre << (dm - d), hi = (pre + 1) << (dm - d);
+            uint64_t ent = HD_LEAF(symbol[x], d);
+            for (int32_t i = lo; i < hi; i++) arena[i] = ent;
+        } else if (d == dm) {
+            arena[pre] = HD_CONT(x);
+        } else {
+            st_n[sp] = left[x]; st_d[sp] = (int8_t)(d + 1);
+            st_p[sp] = pre << 1; sp++;
+            st_n[sp] = right[x]; st_d[sp] = (int8_t)(d + 1);
+            st_p[sp] = (pre << 1) | 1; sp++;
+        }
+    }
+    return 0;
+}
 
 EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
                                const int32_t *left, const int32_t *right,
@@ -229,19 +312,19 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
         return n_symbols;
     }
 
-    int32_t *tsym = (int32_t *)malloc(HD_SIZE * sizeof(int32_t));
-    uint8_t *tlen = (uint8_t *)malloc(HD_SIZE);
-    int32_t *tnode = (int32_t *)malloc(HD_SIZE * sizeof(int32_t));
+    uint64_t *tab = (uint64_t *)malloc(HD_SIZE * sizeof(uint64_t));
     /* fill stack: (node, depth, prefix) */
     int32_t *snode = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
     int32_t *sdep = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
     int32_t *spre = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
-    if (!tsym || !tlen || !tnode || !snode || !sdep || !spre) {
-        free(tsym); free(tlen); free(tnode);
-        free(snode); free(sdep); free(spre);
+    /* escape prefixes found at depth HD_BITS (subtables built after) */
+    int32_t *epre = (int32_t *)malloc(HD_SIZE * sizeof(int32_t));
+    uint64_t *arena = NULL;
+    if (!tab || !snode || !sdep || !spre || !epre) {
+        free(tab); free(snode); free(sdep); free(spre); free(epre);
         return -1;
     }
-    int64_t sp = 0;
+    int64_t sp = 0, n_esc = 0;
     snode[sp] = root; sdep[sp] = 0; spre[sp] = 0; sp++;
     int bad = 0;
     while (sp > 0 && !bad) {
@@ -251,13 +334,11 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
         if (symbol[nd] >= 0) { /* leaf: fill the whole prefix range */
             int32_t lo = pre << (HD_BITS - d);
             int32_t hi = (pre + 1) << (HD_BITS - d);
-            for (int32_t i = lo; i < hi; i++) {
-                tsym[i] = symbol[nd];
-                tlen[i] = (uint8_t)d;
-            }
+            uint64_t ent = HD_LEAF(symbol[nd], d);
+            for (int32_t i = lo; i < hi; i++) tab[i] = ent;
         } else if (d == HD_BITS) {
-            tsym[pre] = -1;
-            tnode[pre] = nd;
+            tab[pre] = HD_WALK(nd);
+            epre[n_esc++] = pre;
         } else {
             snode[sp] = left[nd]; sdep[sp] = d + 1; spre[sp] = pre << 1; sp++;
             snode[sp] = right[nd]; sdep[sp] = d + 1; spre[sp] = (pre << 1) | 1; sp++;
@@ -265,40 +346,85 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
     }
     free(snode); free(sdep); free(spre);
     if (bad) {
-        free(tsym); free(tlen); free(tnode);
+        free(tab); free(epre);
         return -1;
     }
 
-    int64_t total_bits = payload_len * 8;
-    int64_t bitpos = 0, produced = 0;
-    while (produced < n_symbols && bitpos + 24 <= total_bits) {
-        int64_t idx = bitpos >> 3;
-        int off = (int)(bitpos & 7);
-        uint32_t w24 = ((uint32_t)payload[idx] << 16) |
-                       ((uint32_t)payload[idx + 1] << 8) |
-                       (uint32_t)payload[idx + 2];
-        uint32_t w = (w24 >> (24 - HD_BITS - off)) & (HD_SIZE - 1);
-        int32_t s = tsym[w];
-        if (s >= 0) {
-            out[produced++] = s;
-            bitpos += tlen[w];
-        } else {
-            int32_t node = tnode[w];
-            bitpos += HD_BITS;
-            while (symbol[node] < 0) {
-                if (bitpos >= total_bits) goto tail_done;
-                int bit = (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
-                bitpos++;
-                node = bit ? right[node] : left[node];
-                if (node < 0 || node >= n_nodes) {
-                    free(tsym); free(tlen); free(tnode);
-                    return -1;
-                }
+    /* second level: one adaptively-sized subtable per escape, packed into
+     * a bounded arena; escapes that don't fit keep the walk path */
+    if (n_esc) {
+        int64_t used = 0;
+        for (int64_t e = 0; e < n_esc; e++) {
+            int32_t pre = epre[e];
+            int32_t nd = (int32_t)(uint32_t)tab[pre];
+            int dm = hd_sub_depth(left, right, symbol, n_nodes, nd);
+            if (dm < 0) {
+                free(tab); free(epre); free(arena);
+                return -1;
             }
-            out[produced++] = symbol[node];
+            if (used + ((int64_t)1 << dm) > HSUB_ARENA_CAP) continue;
+            if (!arena) {
+                arena = (uint64_t *)malloc(HSUB_ARENA_CAP * sizeof(uint64_t));
+                if (!arena) break; /* degrade: all escapes keep the walk */
+            }
+            if (hd_sub_fill(left, right, symbol, n_nodes, nd, dm,
+                            arena + used) != 0) {
+                free(tab); free(epre); free(arena);
+                return -1;
+            }
+            tab[pre] = HD_SUB(used, dm);
+            used += (int64_t)1 << dm;
         }
     }
-    /* tail: the last <24 bits, decoded with the plain walk */
+    free(epre);
+
+    int64_t total_bits = payload_len * 8;
+    int64_t bitpos = 0, produced = 0;
+    while (produced < n_symbols && bitpos + 64 <= total_bits) {
+        int64_t idx = bitpos >> 3;
+        int off = (int)(bitpos & 7);
+        uint64_t w64;
+        memcpy(&w64, payload + idx, 8);
+        w64 = __builtin_bswap64(w64);
+        uint32_t w = (uint32_t)(w64 >> (64 - HD_BITS - off)) & (HD_SIZE - 1);
+        uint64_t ent = tab[w];
+        uint64_t tag = ent >> 62;
+        if (tag == 0) { /* root leaf: one load resolved the symbol */
+            out[produced++] = (int32_t)(uint32_t)ent;
+            bitpos += (int)((ent >> 32) & 0xff);
+            continue;
+        }
+        int32_t node;
+        if (tag == 1) { /* second-level probe */
+            int dm = (int)((ent >> 32) & 0xff);
+            int64_t slot = (int64_t)(uint32_t)ent +
+                ((uint32_t)(w64 >> (64 - HD_BITS - dm - off)) &
+                 (((uint32_t)1 << dm) - 1));
+            uint64_t a = arena[slot];
+            if (!(a >> 62)) {
+                out[produced++] = (int32_t)(uint32_t)a;
+                bitpos += HD_BITS + (int)((a >> 32) & 0xff);
+                continue;
+            }
+            node = (int32_t)(uint32_t)a;
+            bitpos += HD_BITS + dm; /* code longer: finish with the walk */
+        } else {
+            node = (int32_t)(uint32_t)ent;
+            bitpos += HD_BITS;
+        }
+        while (symbol[node] < 0) {
+            if (bitpos >= total_bits) goto tail_done;
+            int bit = (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
+            bitpos++;
+            node = bit ? right[node] : left[node];
+            if (node < 0 || node >= n_nodes) {
+                free(tab); free(arena);
+                return -1;
+            }
+        }
+        out[produced++] = symbol[node];
+    }
+    /* tail: the last <64 bits, decoded with the plain walk */
     while (produced < n_symbols) {
         int32_t node = root;
         while (symbol[node] < 0) {
@@ -307,14 +433,14 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
             bitpos++;
             node = bit ? right[node] : left[node];
             if (node < 0 || node >= n_nodes) {
-                free(tsym); free(tlen); free(tnode);
+                free(tab); free(arena);
                 return -1;
             }
         }
         out[produced++] = symbol[node];
     }
 tail_done:
-    free(tsym); free(tlen); free(tnode);
+    free(tab); free(arena);
     return produced;
 }
 
