@@ -132,7 +132,7 @@ def _load() -> ctypes.CDLL:
         lib.huf_canonical.restype = ctypes.c_int
         lib.huf_tree_count.argtypes = [u8p, i64, i64, i64p]
         lib.huf_tree_count.restype = i64
-        lib.huf_tree_parse.argtypes = [u8p, i64, i64, i32p, i32p, i32p, i64p, i64, i64p]
+        lib.huf_tree_parse.argtypes = [u8p, i64, i64, i32p, i32p, i32p, u8p, i64, i64p]
         lib.huf_tree_parse.restype = i64
         lib.pack_bits.argtypes = [u64p, u32p, i32p, i64, u8p]
         lib.pack_bits.restype = i64
@@ -514,8 +514,12 @@ def huf_canonical(lens: np.ndarray):
 
 
 def huf_tree_parse(data, leaf_size: int):
-    """Parse a preorder trie. Returns (left, right, symbol, payload_off,
-    n_nodes consumed_bytes)."""
+    """Parse a preorder trie. Returns (left, right, symbol,
+    payloads uint8[n_leaves, leaf_size], n_nodes, consumed_bytes).
+
+    The leaf payload bytes are copied out by the C sweep itself: the
+    numpy offset-gather this replaces cost ~20 ms/MP at north-star tree
+    sizes (~440k leaves), half of parse_tree (measured r5)."""
     lib = _load()
     arr = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
     # exact-size the tables with a tag-only counting pass: `data` is the
@@ -531,18 +535,18 @@ def huf_tree_parse(data, leaf_size: int):
     left = np.empty(max_nodes, dtype=np.int32)
     right = np.empty(max_nodes, dtype=np.int32)
     symbol = np.empty(max_nodes, dtype=np.int32)
-    payload_off = np.empty(n_leaves, dtype=np.int64)
+    payloads = np.empty((n_leaves, leaf_size), dtype=np.uint8)
     consumed = ctypes.c_int64()
     n = lib.huf_tree_parse(
         _as_u8p(arr), arr.size, leaf_size, _as_i32p(left), _as_i32p(right),
-        _as_i32p(symbol), payload_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _as_i32p(symbol), _as_u8p(payloads),
         max_nodes, ctypes.byref(consumed))
     if n < 0:
         raise ValueError("malformed Huffman tree stream")
     # the count and parse passes walk the same tag stream, so n == max_nodes
     # on success: the tables are exact-size, no trailing slack to trim
     assert n == max_nodes, (n, max_nodes)
-    return (left, right, symbol, payload_off, int(n), int(consumed.value))
+    return (left, right, symbol, payloads, int(n), int(consumed.value))
 
 
 def approx_rle_encode(rgb: np.ndarray, allow: float):

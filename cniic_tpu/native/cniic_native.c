@@ -1893,16 +1893,21 @@ EXPORT int64_t huf_tree_count(const uint8_t *data, int64_t len,
 
 /* Parse a preorder-serialized trie (tag byte 0=leaf/1=branch; leaves carry a
  * fixed-size payload; huf.rs:296-348). Outputs flattened node tables for
- * huf_decode plus the byte offset of each leaf payload.
+ * huf_decode plus the leaf payload bytes, copied out contiguously in
+ * preorder during the same sweep (r5: the numpy offset-gather this
+ * replaces cost ~20 ms/MP at north-star tree sizes — ~440k leaves × 11
+ * bytes — vs <1 ms for the in-pass memcpy; the bytes are already in
+ * cache when the tag scan passes them).
  *   left/right/symbol: caller-allocated, >= max_nodes entries
- *   payload_off:       caller-allocated, >= (max_nodes+1)/2 entries (one
- *                      per leaf; a walk of n nodes holds <= (n+1)/2 leaves)
+ *   payloads:          caller-allocated, >= ((max_nodes+1)/2)*leaf_size
+ *                      bytes (one row per leaf; a walk of n nodes holds
+ *                      <= (n+1)/2 leaves)
  * Returns number of nodes, and sets *consumed; -1 on malformed input. The
  * root is node 0. symbol[i] numbers leaves in preorder order.
  */
 EXPORT int64_t huf_tree_parse(const uint8_t *data, int64_t len, int64_t leaf_size,
                               int32_t *left, int32_t *right, int32_t *symbol,
-                              int64_t *payload_off, int64_t max_nodes,
+                              uint8_t *payloads, int64_t max_nodes,
                               int64_t *consumed) {
     int64_t pos = 0;
     int64_t n_nodes = 0, n_leaves = 0;
@@ -1934,7 +1939,9 @@ EXPORT int64_t huf_tree_parse(const uint8_t *data, int64_t len, int64_t leaf_siz
             if (pos + leaf_size > len) { free(stack); return -1; }
             left[me] = right[me] = -1;
             symbol[me] = (int32_t)n_leaves;
-            payload_off[n_leaves++] = pos;
+            memcpy(payloads + n_leaves * leaf_size, data + pos,
+                   (size_t)leaf_size);
+            n_leaves++;
             pos += leaf_size;
             if (sp == 0 && pending_parent < 0) break; /* tree complete */
         } else {

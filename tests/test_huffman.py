@@ -172,6 +172,13 @@ def test_fast_decode_matches_walker():
     cases.append((freqs, rng.integers(0, 300, 4096)))
     # two symbols (1-bit codes)
     cases.append((np.array([3, 9], np.uint64), rng.integers(0, 2, 999)))
+    # large alphabet (north-star statistics): ~200k uniques push average
+    # code length past the 16-bit root table, so nearly every symbol
+    # resolves through a second-level subtable (r5 packed arena); the
+    # Zipf tail mixes subtable depths (dm 1..cap) within one tree
+    u = 200_000
+    freqs = (1e7 / np.arange(1, u + 1)).astype(np.uint64) + 1
+    cases.append((freqs, rng.integers(0, u, 30_000)))
 
     for freqs, ids in cases:
         book = huffman.build_codebook(freqs)
