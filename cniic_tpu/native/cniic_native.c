@@ -224,7 +224,9 @@ EXPORT int64_t huf_decode(const uint8_t *payload, int64_t payload_len,
  * (reference streams included), not just our canonical ones, and decodes
  * bit-for-bit the same symbols as huf_decode (tests pin the equality).
  */
+#ifndef HD_BITS /* overridable for A/B table-geometry experiments */
 #define HD_BITS 16
+#endif
 #define HD_SIZE (1 << HD_BITS)
 #define HSUB_MAX 12              /* subtable covers up to 12 more bits */
 #define HSUB_ARENA_CAP (1 << 21) /* total subtable slots across escapes */
@@ -302,6 +304,19 @@ static int hd_sub_fill(const int32_t *left, const int32_t *right,
     return 0;
 }
 
+/* Decode scratch: thread-local, grow-once. The old per-call mallocs of
+ * the root table and arena crossed glibc's mmap threshold, so every
+ * decode re-paid kernel page faults on multi-MB buffers; caching them
+ * per thread keeps the pages warm across a chunk's 32 decodes. A wider
+ * root was A/B'd here (rb 17-20, fixed and alphabet-adaptive): high-
+ * unique images gained ~2-3 ms/MP (inside host noise) but 39k-unique
+ * images LOST ~8 ms/MP even with warm tables — the 512 KB 16-bit root
+ * is L2-resident on this host (2 MB L2) and wider tables evict it —
+ * so the width stays a compile-time 16. */
+static _Thread_local uint64_t *hd_tab_tls = NULL;   /* HD_SIZE */
+static _Thread_local int32_t *hd_epre_tls = NULL;   /* HD_SIZE */
+static _Thread_local uint64_t *hd_arena_tls = NULL; /* HSUB_ARENA_CAP */
+
 EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
                                const int32_t *left, const int32_t *right,
                                const int32_t *symbol, int64_t n_nodes,
@@ -312,43 +327,51 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
         return n_symbols;
     }
 
-    uint64_t *tab = (uint64_t *)malloc(HD_SIZE * sizeof(uint64_t));
-    /* fill stack: (node, depth, prefix) */
-    int32_t *snode = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
-    int32_t *sdep = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
-    int32_t *spre = (int32_t *)malloc((HD_SIZE * 2 + 64) * sizeof(int32_t));
-    /* escape prefixes found at depth HD_BITS (subtables built after) */
-    int32_t *epre = (int32_t *)malloc(HD_SIZE * sizeof(int32_t));
-    uint64_t *arena = NULL;
-    if (!tab || !snode || !sdep || !spre || !epre) {
-        free(tab); free(snode); free(sdep); free(spre); free(epre);
-        return -1;
+    const int rb = HD_BITS;
+    const int64_t rb_size = (int64_t)1 << rb;
+
+    if (!hd_tab_tls) {
+        hd_tab_tls = (uint64_t *)malloc(HD_SIZE * sizeof(uint64_t));
+        hd_epre_tls = (int32_t *)malloc(HD_SIZE * sizeof(int32_t));
+        if (!hd_tab_tls || !hd_epre_tls) {
+            free(hd_tab_tls); free(hd_epre_tls);
+            hd_tab_tls = NULL; hd_epre_tls = NULL;
+            return -1;
+        }
     }
+    uint64_t *tab = hd_tab_tls;
+    int32_t *epre = hd_epre_tls;
+    uint64_t *arena = hd_arena_tls;
+
+    /* fill stack: (node, depth, prefix). Bounded by the traversal depth
+     * cap — a pop pushes at most two children one level deeper, so the
+     * stack never exceeds rb+2 entries. */
+    int32_t snode[HD_BITS + 2], spre[HD_BITS + 2];
+    int8_t sdep[HD_BITS + 2];
     int64_t sp = 0, n_esc = 0;
     snode[sp] = root; sdep[sp] = 0; spre[sp] = 0; sp++;
     int bad = 0;
     while (sp > 0 && !bad) {
         sp--;
-        int32_t nd = snode[sp], d = sdep[sp], pre = spre[sp];
+        int32_t nd = snode[sp], pre = spre[sp];
+        int d = sdep[sp];
         if (nd < 0 || nd >= n_nodes) { bad = 1; break; }
         if (symbol[nd] >= 0) { /* leaf: fill the whole prefix range */
-            int32_t lo = pre << (HD_BITS - d);
-            int32_t hi = (pre + 1) << (HD_BITS - d);
+            int32_t lo = pre << (rb - d);
+            int32_t hi = (pre + 1) << (rb - d);
             uint64_t ent = HD_LEAF(symbol[nd], d);
             for (int32_t i = lo; i < hi; i++) tab[i] = ent;
-        } else if (d == HD_BITS) {
+        } else if (d == rb) {
             tab[pre] = HD_WALK(nd);
             epre[n_esc++] = pre;
         } else {
-            snode[sp] = left[nd]; sdep[sp] = d + 1; spre[sp] = pre << 1; sp++;
-            snode[sp] = right[nd]; sdep[sp] = d + 1; spre[sp] = (pre << 1) | 1; sp++;
+            snode[sp] = left[nd]; sdep[sp] = (int8_t)(d + 1);
+            spre[sp] = pre << 1; sp++;
+            snode[sp] = right[nd]; sdep[sp] = (int8_t)(d + 1);
+            spre[sp] = (pre << 1) | 1; sp++;
         }
     }
-    free(snode); free(sdep); free(spre);
-    if (bad) {
-        free(tab); free(epre);
-        return -1;
-    }
+    if (bad) return -1;
 
     /* second level: one adaptively-sized subtable per escape, packed into
      * a bounded arena; escapes that don't fit keep the walk path */
@@ -358,35 +381,30 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
             int32_t pre = epre[e];
             int32_t nd = (int32_t)(uint32_t)tab[pre];
             int dm = hd_sub_depth(left, right, symbol, n_nodes, nd);
-            if (dm < 0) {
-                free(tab); free(epre); free(arena);
-                return -1;
-            }
+            if (dm < 0) return -1;
             if (used + ((int64_t)1 << dm) > HSUB_ARENA_CAP) continue;
             if (!arena) {
                 arena = (uint64_t *)malloc(HSUB_ARENA_CAP * sizeof(uint64_t));
+                hd_arena_tls = arena;
                 if (!arena) break; /* degrade: all escapes keep the walk */
             }
             if (hd_sub_fill(left, right, symbol, n_nodes, nd, dm,
-                            arena + used) != 0) {
-                free(tab); free(epre); free(arena);
-                return -1;
-            }
+                            arena + used) != 0) return -1;
             tab[pre] = HD_SUB(used, dm);
             used += (int64_t)1 << dm;
         }
     }
-    free(epre);
 
     int64_t total_bits = payload_len * 8;
     int64_t bitpos = 0, produced = 0;
+    const uint32_t rb_mask = (uint32_t)(rb_size - 1);
     while (produced < n_symbols && bitpos + 64 <= total_bits) {
         int64_t idx = bitpos >> 3;
         int off = (int)(bitpos & 7);
         uint64_t w64;
         memcpy(&w64, payload + idx, 8);
         w64 = __builtin_bswap64(w64);
-        uint32_t w = (uint32_t)(w64 >> (64 - HD_BITS - off)) & (HD_SIZE - 1);
+        uint32_t w = (uint32_t)(w64 >> (64 - rb - off)) & rb_mask;
         uint64_t ent = tab[w];
         uint64_t tag = ent >> 62;
         if (tag == 0) { /* root leaf: one load resolved the symbol */
@@ -398,29 +416,26 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
         if (tag == 1) { /* second-level probe */
             int dm = (int)((ent >> 32) & 0xff);
             int64_t slot = (int64_t)(uint32_t)ent +
-                ((uint32_t)(w64 >> (64 - HD_BITS - dm - off)) &
+                ((uint32_t)(w64 >> (64 - rb - dm - off)) &
                  (((uint32_t)1 << dm) - 1));
             uint64_t a = arena[slot];
             if (!(a >> 62)) {
                 out[produced++] = (int32_t)(uint32_t)a;
-                bitpos += HD_BITS + (int)((a >> 32) & 0xff);
+                bitpos += rb + (int)((a >> 32) & 0xff);
                 continue;
             }
             node = (int32_t)(uint32_t)a;
-            bitpos += HD_BITS + dm; /* code longer: finish with the walk */
+            bitpos += rb + dm; /* code longer: finish with the walk */
         } else {
             node = (int32_t)(uint32_t)ent;
-            bitpos += HD_BITS;
+            bitpos += rb;
         }
         while (symbol[node] < 0) {
             if (bitpos >= total_bits) goto tail_done;
             int bit = (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
             bitpos++;
             node = bit ? right[node] : left[node];
-            if (node < 0 || node >= n_nodes) {
-                free(tab); free(arena);
-                return -1;
-            }
+            if (node < 0 || node >= n_nodes) return -1;
         }
         out[produced++] = symbol[node];
     }
@@ -432,16 +447,12 @@ EXPORT int64_t huf_decode_fast(const uint8_t *payload, int64_t payload_len,
             int bit = (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1;
             bitpos++;
             node = bit ? right[node] : left[node];
-            if (node < 0 || node >= n_nodes) {
-                free(tab); free(arena);
-                return -1;
-            }
+            if (node < 0 || node >= n_nodes) return -1;
         }
         out[produced++] = symbol[node];
     }
 tail_done:
-    free(tab); free(arena);
-    return produced;
+    return produced; /* tab/arena are thread-local caches, kept warm */
 }
 
 static inline uint64_t hash64(uint64_t k) {
