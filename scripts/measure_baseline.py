@@ -28,6 +28,15 @@ deterministic linspace sample of a real corpus instead, so the numerator
 
     python scripts/measure_baseline.py --images='data/ns1000/*.png' \
         --out=BASELINE_HOST_NS.json
+
+--only=<name,...> re-measures just the named legs (codec .name values)
+and splices them into the existing --out file, leaving every other
+denominator untouched — the baseline-side analog of northstar.py's
+--remeasure. Use it when an engine change touches the C shared by both
+sides of a ratio (the r5 decode series made the Hufman/delta decode
+denominators stale-low; re-measuring all nine would re-roll the
+voronoi/cluster denominators that dominate the suite estimate with
+fresh noise instead).
 """
 
 from __future__ import annotations
@@ -68,11 +77,14 @@ def _corpus_sample(paths: list[str], n: int) -> list[str]:
 
 def main() -> int:
     corpus_glob, out_name = None, "BASELINE_HOST.json"
+    only = None
     for a in sys.argv[1:]:
         if a.startswith("--images="):
             corpus_glob = a.split("=", 1)[1]
         elif a.startswith("--out="):
             out_name = a.split("=", 1)[1]
+        elif a.startswith("--only="):
+            only = {s for s in a.split("=", 1)[1].split(",") if s}
     corpus_paths = None
     if corpus_glob is not None:
         corpus_paths = sorted(globlib.glob(corpus_glob))
@@ -84,9 +96,26 @@ def main() -> int:
     rng = np.random.default_rng(2024)
     out = {}
     sampled = {}
+    prev = None
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), out_name)
+    if only is not None:
+        # splice mode: start from the existing file, re-measure only the
+        # named legs (everything else keeps its recorded denominator)
+        with open(out_path) as f:
+            prev = json.load(f)
+        unknown = only - set(prev["per_codec"])
+        if unknown:
+            print(f"--only: not in {out_name}: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 1
+        out = prev["per_codec"]
+        sampled = prev.get("corpus", {}).get("sampled", sampled)
     corpus_cache = {}  # path -> loaded image, shared across fast legs
     for spec, side, n_imgs in bench.SUITE:
         codec = from_spec(spec)
+        if only is not None and codec.name not in only:
+            continue
         if corpus_paths is None:
             imgs = [bench.synth_image(rng, side, side) for _ in range(n_imgs)]
             warm = imgs
@@ -192,16 +221,16 @@ def main() -> int:
         print(f"{codec.name}: encode {mp/enc_s:.3f} MP/s, "
               f"decode {mp/dec_s:.3f} MP/s", file=sys.stderr, flush=True)
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), out_name)
     doc = {"host": "bench host, CPU backend, single process",
            "per_codec": out}
     if corpus_paths is not None:
         doc["corpus"] = {"glob": corpus_glob, "images": len(corpus_paths),
                          "sampled": sampled}
-    with open(path, "w") as f:
+    elif prev is not None and "corpus" in prev:
+        doc["corpus"] = prev["corpus"]
+    with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
-    print(f"wrote {path}", file=sys.stderr)
+    print(f"wrote {out_path}", file=sys.stderr)
     return 0
 
 
