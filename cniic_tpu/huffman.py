@@ -48,13 +48,15 @@ class Codebook:
 
 
 def build_codebook(freqs: np.ndarray) -> Codebook:
-    """Build the canonical codebook for symbol frequencies (caller order)."""
+    """Build the canonical codebook for symbol frequencies (caller order).
+
+    The sort + two-queue + unscatter run as one C call: the numpy
+    stable argsort alone cost 13-16 ms at north-star alphabet sizes
+    (~400k symbols), more than the entire C tree build (measured r5;
+    bit-identity with the argsort formulation pinned by
+    tests/test_oracle.py)."""
     freqs = np.asarray(freqs, dtype=np.uint64)
-    u = freqs.size
-    order = np.argsort(freqs, kind="stable")
-    lens_sorted = native.huf_lengths(freqs[order])
-    lens = np.empty(u, dtype=np.uint32)
-    lens[order] = lens_sorted
+    lens = native.huf_lens_unsorted(freqs)
     codes, tags, leaf_sym = native.huf_canonical(lens)
     return Codebook(codes=codes, lens=lens, tags=tags, leaf_sym=leaf_sym)
 

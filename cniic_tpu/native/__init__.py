@@ -128,6 +128,8 @@ def _load() -> ctypes.CDLL:
         i64p = ctypes.POINTER(i64)
         lib.huf_lengths.argtypes = [u64p, i64, u32p]
         lib.huf_lengths.restype = ctypes.c_int
+        lib.huf_lens_unsorted.argtypes = [u64p, i64, u32p]
+        lib.huf_lens_unsorted.restype = ctypes.c_int
         lib.huf_canonical.argtypes = [u32p, i64, u64p, u8p, i32p]
         lib.huf_canonical.restype = ctypes.c_int
         lib.huf_tree_count.argtypes = [u8p, i64, i64, i64p]
@@ -492,6 +494,24 @@ def huf_lengths(freqs_sorted_asc: np.ndarray) -> np.ndarray:
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     if rc != 0:
         raise ValueError("huf_lengths failed")
+    return lens
+
+
+def huf_lens_unsorted(freqs: np.ndarray) -> np.ndarray:
+    """Optimal Huffman code lengths from frequencies in ANY order (caller
+    order preserved). One C call fusing the stable ascending argsort, the
+    two-queue pass, and the scatter back — bit-identical to
+    `huf_lengths(freqs[argsort])[inverse-argsort]` (parity-pinned by
+    tests/test_oracle.py) but without the 13-16 ms numpy argsort at
+    north-star alphabet sizes."""
+    lib = _load()
+    f = np.ascontiguousarray(freqs, dtype=np.uint64)
+    lens = np.empty(f.size, dtype=np.uint32)
+    rc = lib.huf_lens_unsorted(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), f.size,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc != 0:
+        raise ValueError("huf_lens_unsorted failed")
     return lens
 
 

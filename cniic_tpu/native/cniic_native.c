@@ -99,6 +99,32 @@ static int buf_push_u16le(Buf *b, uint16_t v) {
 EXPORT void cniic_buf_free(uint8_t *p) { free(p); }
 
 /* ------------------------------------------------------------------ */
+/* Encode scratch: thread-local grow-once. The per-call mallocs of the
+ * histogram pair arrays (16 MB at 1 MP) and the Huffman tree-build
+ * tables (16 MB at north-star alphabet sizes) crossed glibc's mmap
+ * threshold, so every encode re-paid kernel page faults on multi-MB
+ * buffers — the r5 decode-side fix (hd_*_tls below), applied to the
+ * encode side. Slots must be distinct only WITHIN one exported call
+ * (including its internal callees); reuse across calls is the point.  */
+/* ------------------------------------------------------------------ */
+
+enum {
+    ESC_KEYS, ESC_PAIR_A, ESC_PAIR_B, ESC_H16, ESC_STAB, ESC_HTAB,
+    ESC_UKC, ESC_RANK, ESC_SKA, ESC_SKB, ESC_SIA, ESC_SIB, ESC_LSORT,
+    ESC_TW, ESC_TLR, ESC_TD, ESC_ORDER, ESC_N
+};
+static _Thread_local void *esc_buf[ESC_N];
+static _Thread_local size_t esc_cap[ESC_N];
+static void *esc_get(int slot, size_t bytes) {
+    if (esc_cap[slot] < bytes) {
+        free(esc_buf[slot]);
+        esc_buf[slot] = malloc(bytes);
+        esc_cap[slot] = esc_buf[slot] ? bytes : 0;
+    }
+    return esc_buf[slot];
+}
+
+/* ------------------------------------------------------------------ */
 /* gilbert: generalized Hilbert scan of an arbitrary rectangle          */
 /* ------------------------------------------------------------------ */
 
@@ -1194,15 +1220,13 @@ EXPORT int64_t hist_rgb(const uint8_t *rgb, int64_t n,
     extern int64_t hist_u32(const uint32_t *, int64_t, uint32_t *,
                             int64_t *, int32_t *);
     if (n <= 0) return 0;
-    uint32_t *keys = (uint32_t *)malloc((size_t)n * sizeof(uint32_t));
+    uint32_t *keys = (uint32_t *)esc_get(ESC_KEYS, (size_t)n * sizeof(uint32_t));
     if (!keys) return -1;
     for (int64_t i = 0; i < n; i++) {
         const uint8_t *p = rgb + 3 * i;
         keys[i] = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
     }
-    int64_t u = hist_u32(keys, n, uniq, counts, inverse);
-    free(keys);
-    return u;
+    return hist_u32(keys, n, uniq, counts, inverse);
 }
 
 /* Packed diff keys for the delta codec (hilbertc.rs:442-445 semantics):
@@ -1557,14 +1581,14 @@ EXPORT int rgb_unframe(const uint8_t *framed, int64_t n, uint8_t *rgb) {
 static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
                               uint32_t *uniq, int64_t *counts,
                               int32_t *inverse) {
-    uint64_t *a = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
-    uint64_t *b = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+    uint64_t *a = (uint64_t *)esc_get(ESC_PAIR_A, (size_t)n * sizeof(uint64_t));
+    uint64_t *b = (uint64_t *)esc_get(ESC_PAIR_B, (size_t)n * sizeof(uint64_t));
     /* 12-bit digits: 24-bit color keys sort in 2 passes instead of 3 and
      * the 4096-counter table still lives in L1. (Wider digits measured a
      * wash: 2 x 14-bit over the delta codec's 27-bit keys saved a pass
      * but the 16K-way scatter lost the saving — BENCH_NOTES r4.) */
-    int64_t *hist = (int64_t *)malloc(4096 * sizeof(int64_t));
-    if (!a || !b || !hist) { free(a); free(b); free(hist); return -1; }
+    int64_t *hist = (int64_t *)esc_get(ESC_H16, 4096 * sizeof(int64_t));
+    if (!a || !b || !hist) return -1;
 
     uint32_t all_or = 0;
     for (int64_t i = 0; i < n; i++) {
@@ -1596,7 +1620,6 @@ static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
         counts[u - 1]++;
         inverse[(uint32_t)a[i]] = (int32_t)(u - 1);
     }
-    free(a); free(b); free(hist);
     return u;
 }
 
@@ -1630,8 +1653,10 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
     enum { SLG = 15 };
     /* u64 slots so the k+1 "occupied" sentinel cannot wrap to the empty
      * marker for key 0xFFFFFFFF */
-    uint64_t *stab = (uint64_t *)calloc((size_t)1 << SLG, sizeof(uint64_t));
+    uint64_t *stab = (uint64_t *)esc_get(ESC_STAB,
+                                         ((size_t)1 << SLG) * sizeof(uint64_t));
     if (!stab) return -2;
+    memset(stab, 0, ((size_t)1 << SLG) * sizeof(uint64_t));
     const uint32_t smask = ((uint32_t)1 << SLG) - 1;
     int64_t ds = 0;
     for (int64_t s = 0; s < sn; s++) {
@@ -1651,9 +1676,8 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
         /* early exit once the radix regime is certain; this also bounds
          * the sample table's load at 26000/2^15 = 79% so its own linear
          * probing never degenerates near full */
-        if (ds > 26000) { free(stab); return -2; }
+        if (ds > 26000) return -2;
     }
-    free(stab);
 
     /* tier choice (measured thresholds above; ucap keeps worst-case load
      * <= ~38% except the top tier, capped at the ~300k crossover) */
@@ -1665,10 +1689,13 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
     else                 { tlg = 17; ucap = 49152; }
     if (ucap > n) ucap = n;                          /* u can never exceed n */
 
-    uint64_t *tab = (uint64_t *)calloc((size_t)1 << tlg, sizeof(uint64_t));
-    uint32_t *ukey = (uint32_t *)malloc((size_t)ucap * sizeof(uint32_t));
-    int64_t *ucnt = (int64_t *)malloc((size_t)ucap * sizeof(int64_t));
-    if (!tab || !ukey || !ucnt) { free(tab); free(ukey); free(ucnt); return -2; }
+    uint64_t *tab = (uint64_t *)esc_get(ESC_HTAB,
+                                        ((size_t)1 << tlg) * sizeof(uint64_t));
+    /* ucnt first so both halves stay 8-aligned */
+    int64_t *ucnt = (int64_t *)esc_get(ESC_UKC, (size_t)ucap * 12);
+    if (!tab || !ucnt) return -2;
+    uint32_t *ukey = (uint32_t *)(ucnt + ucap);
+    memset(tab, 0, ((size_t)1 << tlg) * sizeof(uint64_t));
     const uint32_t tmask = ((uint32_t)1 << tlg) - 1;
     const int tshift = 32 - tlg;
     int64_t u = 0;
@@ -1678,10 +1705,7 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
         for (;;) {
             uint64_t s = tab[h];
             if (!s) {
-                if (u == ucap) {  /* sample under-estimated: bail */
-                    free(tab); free(ukey); free(ucnt);
-                    return -2;
-                }
+                if (u == ucap) return -2;  /* sample under-estimated: bail */
                 tab[h] = ((uint64_t)k << 32) | (uint32_t)(u + 1);
                 ukey[u] = k;
                 ucnt[u] = 1;
@@ -1698,18 +1722,14 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
             h = (h + 1) & tmask;
         }
     }
-    free(tab);
     /* remap provisional (first-appearance) ids to ascending-key rank via
      * a 2x16-bit LSD radix sort of (key<<32 | prov) — qsort at 46k+
      * uniques costs whole milliseconds, the radix is two linear passes */
-    uint64_t *sk = (uint64_t *)malloc((size_t)u * sizeof(uint64_t));
-    uint64_t *sb = (uint64_t *)malloc((size_t)u * sizeof(uint64_t));
-    int64_t *h16 = (int64_t *)malloc(65536 * sizeof(int64_t));
-    int32_t *rank = (int32_t *)malloc((size_t)u * sizeof(int32_t));
-    if (!sk || !sb || !h16 || !rank) {
-        free(sk); free(sb); free(h16); free(rank); free(ukey); free(ucnt);
-        return -2;
-    }
+    uint64_t *sk = (uint64_t *)esc_get(ESC_SKA, (size_t)u * sizeof(uint64_t));
+    uint64_t *sb = (uint64_t *)esc_get(ESC_SKB, (size_t)u * sizeof(uint64_t));
+    int64_t *h16 = (int64_t *)esc_get(ESC_H16, 65536 * sizeof(int64_t));
+    int32_t *rank = (int32_t *)esc_get(ESC_RANK, (size_t)u * sizeof(int32_t));
+    if (!sk || !sb || !h16 || !rank) return -2;
     for (int64_t j = 0; j < u; j++)
         sk[j] = ((uint64_t)ukey[j] << 32) | (uint32_t)j;
     for (int p = 0; p < 2; p++) {
@@ -1728,7 +1748,6 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
         counts[j] = ucnt[prov];
     }
     for (int64_t i = 0; i < n; i++) inverse[i] = rank[inverse[i]];
-    free(sk); free(sb); free(h16); free(rank); free(ukey); free(ucnt);
     return u;
 }
 
@@ -1759,11 +1778,12 @@ EXPORT int huf_lengths(const uint64_t *freqs, int64_t u, uint32_t *lens) {
     if (u <= 0) return -1;
     if (u == 1) { lens[0] = 0; return 0; }
     int64_t nn = 2 * u - 1;
-    uint64_t *w = (uint64_t *)malloc((size_t)nn * sizeof(uint64_t));
-    int32_t *l = (int32_t *)malloc((size_t)nn * sizeof(int32_t));
-    int32_t *r = (int32_t *)malloc((size_t)nn * sizeof(int32_t));
-    uint32_t *depth = (uint32_t *)calloc((size_t)nn, sizeof(uint32_t));
-    if (!w || !l || !r || !depth) { free(w); free(l); free(r); free(depth); return -1; }
+    uint64_t *w = (uint64_t *)esc_get(ESC_TW, (size_t)nn * sizeof(uint64_t));
+    /* l and r share one slot (contiguous halves) */
+    int32_t *l = (int32_t *)esc_get(ESC_TLR, (size_t)nn * 2 * sizeof(int32_t));
+    uint32_t *depth = (uint32_t *)esc_get(ESC_TD, (size_t)nn * sizeof(uint32_t));
+    if (!w || !l || !depth) return -1;
+    int32_t *r = l + nn;
     memcpy(w, freqs, (size_t)u * sizeof(uint64_t));
 
     int64_t leaf_head = 0;            /* queue 1: leaves (sorted) */
@@ -1783,13 +1803,65 @@ EXPORT int huf_lengths(const uint64_t *freqs, int64_t u, uint32_t *lens) {
         r[int_tail] = picks[1];
         int_tail++;
     }
-    /* root = nn-1; propagate depths top-down (children created before parent) */
+    /* root = nn-1; propagate depths top-down (children created before
+     * parent). Every non-root node's depth is written by its parent
+     * before it is read, so only the root needs initializing — no
+     * full-array clear. */
+    depth[nn - 1] = 0;
     for (int64_t i = nn - 1; i >= u; i--) {
         depth[l[i]] = depth[i] + 1;
         depth[r[i]] = depth[i] + 1;
     }
     for (int64_t i = 0; i < u; i++) lens[i] = depth[i];
-    free(w); free(l); free(r); free(depth);
+    return 0;
+}
+
+/* Optimal code lengths from UNSORTED frequencies: a stable LSD radix
+ * argsort (ascending; ties keep index order — exactly numpy's
+ * argsort(kind='stable')) + the two-queue pass above + scatter back to
+ * caller order. Replaces build_codebook's numpy argsort + gather +
+ * scatter, which cost 13-16 ms/image at north-star alphabet sizes
+ * (~400k symbols) vs ~2 ms here. Output is bit-identical by
+ * construction (same stable order, same two-queue).
+ * freqs: u64[u], any order. out lens: u32[u], caller order. 0 / -1. */
+EXPORT int huf_lens_unsorted(const uint64_t *freqs, int64_t u,
+                             uint32_t *lens) {
+    if (u <= 0 || u > 0x7FFFFFFF) return -1;
+    if (u == 1) { lens[0] = 0; return 0; }
+    uint64_t *ka = (uint64_t *)esc_get(ESC_SKA, (size_t)u * sizeof(uint64_t));
+    uint64_t *kb = (uint64_t *)esc_get(ESC_SKB, (size_t)u * sizeof(uint64_t));
+    uint32_t *ia = (uint32_t *)esc_get(ESC_SIA, (size_t)u * sizeof(uint32_t));
+    uint32_t *ib = (uint32_t *)esc_get(ESC_SIB, (size_t)u * sizeof(uint32_t));
+    int64_t *h16 = (int64_t *)esc_get(ESC_H16, 65536 * sizeof(int64_t));
+    uint32_t *ls = (uint32_t *)esc_get(ESC_LSORT, (size_t)u * sizeof(uint32_t));
+    if (!ka || !kb || !ia || !ib || !h16 || !ls) return -1;
+    uint64_t orv = 0, andv = ~(uint64_t)0;
+    for (int64_t i = 0; i < u; i++) {
+        ka[i] = freqs[i];
+        ia[i] = (uint32_t)i;
+        orv |= freqs[i];
+        andv &= freqs[i];
+    }
+    /* a 16-bit digit position where every key agrees needs no pass;
+     * image frequencies (<= pixel count) typically sort in 1-2 passes */
+    uint64_t diff = orv ^ andv;
+    for (int p = 0; p < 4; p++) {
+        int shift = 16 * p;
+        if (!((diff >> shift) & 0xFFFF)) continue;
+        memset(h16, 0, 65536 * sizeof(int64_t));
+        for (int64_t i = 0; i < u; i++) h16[(ka[i] >> shift) & 0xFFFF]++;
+        int64_t sum = 0;
+        for (int j = 0; j < 65536; j++) { int64_t c = h16[j]; h16[j] = sum; sum += c; }
+        for (int64_t i = 0; i < u; i++) {
+            int64_t d = h16[(ka[i] >> shift) & 0xFFFF]++;
+            kb[d] = ka[i];
+            ib[d] = ia[i];
+        }
+        uint64_t *tk = ka; ka = kb; kb = tk;
+        uint32_t *ti = ia; ia = ib; ib = ti;
+    }
+    if (huf_lengths(ka, u, ls) != 0) return -1;
+    for (int64_t j = 0; j < u; j++) lens[ia[j]] = ls[j];
     return 0;
 }
 
@@ -1817,9 +1889,9 @@ EXPORT int huf_canonical(const uint32_t *lens, int64_t u,
         if (lens[i] == 0 || lens[i] > 63) return -1;
         if (lens[i] > max_len) max_len = lens[i];
     }
-    int64_t *cnt = (int64_t *)calloc((size_t)max_len + 2, sizeof(int64_t));
-    int32_t *order = (int32_t *)malloc((size_t)u * sizeof(int32_t));
-    if (!cnt || !order) { free(cnt); free(order); return -1; }
+    int64_t cnt[65] = {0};  /* lens <= 63, so max_len + 2 <= 65 */
+    int32_t *order = (int32_t *)esc_get(ESC_ORDER, (size_t)u * sizeof(int32_t));
+    if (!order) return -1;
     for (int64_t i = 0; i < u; i++) cnt[lens[i] + 1]++;
     for (uint32_t d = 1; d <= max_len + 1; d++) cnt[d] += cnt[d - 1];
     for (int64_t i = 0; i < u; i++) order[cnt[lens[i]]++] = (int32_t)i;
@@ -1834,7 +1906,6 @@ EXPORT int huf_canonical(const uint32_t *lens, int64_t u,
         codes[order[k]] = code;
         prev_len = len;
     }
-    free(cnt);
 
     /* preorder walk of the canonical trie without materializing it:
      * leaves in `order` are already in left-to-right tree order. Standard
@@ -1869,7 +1940,6 @@ EXPORT int huf_canonical(const uint32_t *lens, int64_t u,
          * encodes that, nothing to emit (the branch tag was written when
          * we first descended through that level) */
     }
-    free(order);
     if (!ok || leaf_pos != u || tag_pos != 2 * u - 1) return -1;
     return 0;
 }

@@ -365,3 +365,48 @@ def test_tree_count_matches_parse(rng):
         huffman.parse_tree(np.frombuffer(b"\x02", np.uint8), 11)
     with pytest.raises(ValueError):
         huffman.parse_tree(np.frombuffer(b"\x01\x00", np.uint8), 11)
+
+
+def test_huf_lens_unsorted_matches_argsort_composition(rng):
+    """The fused C sort+two-queue+unscatter (r5 encode-scratch series) must
+    be bit-identical to the numpy formulation it replaced:
+    lens[argsort(freqs, stable)] = huf_lengths(sorted freqs)."""
+    cases = [
+        rng.integers(1, 1_000_000, size=200_000).astype(np.uint64),
+        np.ones(1_000, np.uint64),                            # all ties
+        rng.integers(1, 5, size=50_000).astype(np.uint64),    # heavy ties
+        np.array([7], np.uint64),                             # single symbol
+        np.array([3, 3], np.uint64),
+        rng.integers(1, 2**40, size=20_000).astype(np.uint64),  # >32-bit
+        np.arange(1, 30_000, dtype=np.uint64)[::-1].copy(),   # descending
+    ]
+    for freqs in cases:
+        order = np.argsort(freqs, kind="stable")
+        want = np.empty(freqs.size, np.uint32)
+        want[order] = native.huf_lengths(freqs[order])
+        got = native.huf_lens_unsorted(freqs)
+        assert np.array_equal(got, want)
+
+
+def test_encode_scratch_reuse_is_stateless(rng):
+    """The thread-local grow-once encode scratch (histogram pair arrays,
+    hash tables, tree-build tables) must make repeated and interleaved
+    calls bit-identical to fresh-process results: a big call followed by
+    a small one must not leak state through the reused buffers."""
+    big = rng.integers(0, 2**24, size=500_000).astype(np.uint32)   # radix
+    small = rng.integers(0, 300, size=10_000).astype(np.uint32)    # hash
+    first = [native.hist_u32(k) for k in (big, small, big)]
+    second = [native.hist_u32(k) for k in (big, small, big)]
+    for (u1, c1, i1), (u2, c2, i2) in zip(first, second):
+        assert np.array_equal(u1, u2)
+        assert np.array_equal(c1, c2)
+        assert np.array_equal(i1, i2)
+    # interleave codebook builds (distinct scratch slots) with histograms
+    f_big = first[0][1].astype(np.uint64)
+    f_small = first[1][1].astype(np.uint64)
+    l1 = native.huf_lens_unsorted(f_big)
+    native.hist_u32(small)
+    l2 = native.huf_lens_unsorted(f_big)
+    assert np.array_equal(l1, l2)
+    assert np.array_equal(native.huf_lens_unsorted(f_small),
+                          native.huf_lens_unsorted(f_small))
