@@ -124,6 +124,19 @@ static void *esc_get(int slot, size_t bytes) {
     return esc_buf[slot];
 }
 
+/* histogram engines (defined with the Huffman section below) */
+static int64_t hist_sample_ds(const uint32_t *keys, const uint8_t *rgb,
+                              int64_t n);
+static int64_t hist_u32_hash(const uint32_t *keys, int64_t n, int64_t ds,
+                             uint32_t *uniq, int64_t *counts,
+                             int32_t *inverse);
+static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
+                              uint32_t *uniq, int64_t *counts,
+                              int32_t *inverse);
+static int64_t hist_rgb24_radix(const uint8_t *rgb, int64_t n,
+                                uint32_t *uniq, int64_t *counts,
+                                int32_t *inverse);
+
 /* ------------------------------------------------------------------ */
 /* gilbert: generalized Hilbert scan of an arbitrary rectangle          */
 /* ------------------------------------------------------------------ */
@@ -1216,17 +1229,23 @@ EXPORT void scatter_rgb(const uint8_t *rgb, const int64_t *perm, int64_t n,
  * (~10 ms/MP of pure array traffic saved). */
 EXPORT int64_t hist_rgb(const uint8_t *rgb, int64_t n,
                         uint32_t *uniq, int64_t *counts, int32_t *inverse) {
-    /* defined below (the LSD radix engine) */
-    extern int64_t hist_u32(const uint32_t *, int64_t, uint32_t *,
-                            int64_t *, int32_t *);
     if (n <= 0) return 0;
-    uint32_t *keys = (uint32_t *)esc_get(ESC_KEYS, (size_t)n * sizeof(uint32_t));
-    if (!keys) return -1;
-    for (int64_t i = 0; i < n; i++) {
-        const uint8_t *p = rgb + 3 * i;
-        keys[i] = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+    /* the stride sample reads packed colors straight from the RGB bytes,
+     * so the radix regime never materializes the 4 MB/MP key array */
+    int64_t ds = hist_sample_ds(NULL, rgb, n);
+    if (ds <= 26000) {
+        uint32_t *keys = (uint32_t *)esc_get(ESC_KEYS,
+                                             (size_t)n * sizeof(uint32_t));
+        if (keys) {
+            for (int64_t i = 0; i < n; i++) {
+                const uint8_t *p = rgb + 3 * i;
+                keys[i] = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+            }
+            int64_t u = hist_u32_hash(keys, n, ds, uniq, counts, inverse);
+            if (u >= 0) return u;
+        }
     }
-    return hist_u32(keys, n, uniq, counts, inverse);
+    return hist_rgb24_radix(rgb, n, uniq, counts, inverse);
 }
 
 /* Packed diff keys for the delta codec (hilbertc.rs:442-445 semantics):
@@ -1623,6 +1642,71 @@ static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
     return u;
 }
 
+/* 24-bit-key histogram for RGB streams in the radix regime: one MSD
+ * scatter by the high 12 bits, then per-bucket low-12 counting with a
+ * bitmap ascent — one full materialize+scatter pass fewer than the
+ * generic 2-pass LSD above, with the (key,pos) pairs built straight
+ * from the RGB bytes (the 4 MB/MP key materialization disappears).
+ * The per-bucket tables (16 KB counts + 16 KB ranks + 512 B bitmap)
+ * stay L1-resident. Output identical to hist_u32 over packed keys:
+ * uniq ascending, counts, inverse = ascending-key rank per pixel. */
+static int64_t hist_rgb24_radix(const uint8_t *rgb, int64_t n,
+                                uint32_t *uniq, int64_t *counts,
+                                int32_t *inverse) {
+    uint64_t *a = (uint64_t *)esc_get(ESC_PAIR_A, (size_t)n * sizeof(uint64_t));
+    int64_t *off = (int64_t *)esc_get(ESC_H16, 2 * 4097 * sizeof(int64_t));
+    if (!a || !off) return -1;
+    int64_t *bstart = off + 4097;
+    memset(off, 0, 4097 * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *p = rgb + 3 * i;
+        uint32_t hi = ((uint32_t)p[0] << 4) | (p[1] >> 4); /* key >> 12 */
+        off[hi + 1]++;
+    }
+    for (int j = 0; j < 4096; j++) off[j + 1] += off[j];
+    memcpy(bstart, off, 4097 * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *p = rgb + 3 * i;
+        uint32_t k = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+        a[off[k >> 12]++] = ((uint64_t)k << 32) | (uint32_t)i;
+    }
+    /* u32 per-bucket counts cannot wrap: positions are stored as u32, so
+     * n (and any per-key count) is < 2^32 */
+    uint32_t cnt12[4096];
+    int32_t rank12[4096];
+    uint64_t bitmap[64];
+    memset(cnt12, 0, sizeof cnt12);
+    memset(bitmap, 0, sizeof bitmap);
+    int64_t u = 0;
+    for (int b = 0; b < 4096; b++) {
+        int64_t s = bstart[b], e = bstart[b + 1];
+        if (s == e) continue;
+        for (int64_t j = s; j < e; j++) {
+            uint32_t low = (uint32_t)(a[j] >> 32) & 0xFFF;
+            if (cnt12[low]++ == 0)
+                bitmap[low >> 6] |= (uint64_t)1 << (low & 63);
+        }
+        uint32_t base = (uint32_t)b << 12;
+        for (int w = 0; w < 64; w++) {
+            uint64_t bits = bitmap[w];
+            while (bits) {
+                int t = __builtin_ctzll(bits);
+                bits &= bits - 1;
+                uint32_t low = (uint32_t)((w << 6) | t);
+                uniq[u] = base | low;
+                counts[u] = cnt12[low];
+                rank12[low] = (int32_t)u;
+                cnt12[low] = 0;
+                u++;
+            }
+            bitmap[w] = 0;
+        }
+        for (int64_t j = s; j < e; j++)
+            inverse[(uint32_t)a[j]] = rank12[(uint32_t)(a[j] >> 32) & 0xFFF];
+    }
+    return u;
+}
+
 /* Single-pass open-addressing histogram with ADAPTIVE table sizing.
  * Slot layout: key<<32 | (provisional_id + 1); 0 = empty. The provisional
  * ids are assigned in first-appearance order, then remapped to ascending-
@@ -1644,23 +1728,33 @@ static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
  * chosen from ds and the in-pass unique cap stays as the backstop for
  * sample under-estimates (a bailed pass costs a bounded partial scan).
  */
-static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
-                             uint32_t *uniq, int64_t *counts,
-                             int32_t *inverse) {
-    /* stride-sample first: a high-entropy stream (photo-scale unique
-     * counts) would waste a partial pass before hitting the bail cap */
+/* Stride-sample distinct count (32768 even-spread probes). keys==NULL
+ * fetches 24-bit packed colors from rgb instead, so the caller can pick
+ * an engine before materializing any key array. Returns the sample's
+ * distinct count, early-exited past 26000 (radix regime certain — this
+ * also bounds the sample table's load at 26000/2^15 = 79% so its own
+ * linear probing never degenerates near full). */
+static int64_t hist_sample_ds(const uint32_t *keys, const uint8_t *rgb,
+                              int64_t n) {
     int64_t sn = n < 32768 ? n : 32768;
     enum { SLG = 15 };
     /* u64 slots so the k+1 "occupied" sentinel cannot wrap to the empty
      * marker for key 0xFFFFFFFF */
     uint64_t *stab = (uint64_t *)esc_get(ESC_STAB,
                                          ((size_t)1 << SLG) * sizeof(uint64_t));
-    if (!stab) return -2;
+    if (!stab) return 26001; /* treat alloc failure as the radix regime */
     memset(stab, 0, ((size_t)1 << SLG) * sizeof(uint64_t));
     const uint32_t smask = ((uint32_t)1 << SLG) - 1;
     int64_t ds = 0;
     for (int64_t s = 0; s < sn; s++) {
-        uint32_t k = keys[(s * n) / sn];  /* even spread over the stream */
+        int64_t idx = (s * n) / sn;  /* even spread over the stream */
+        uint32_t k;
+        if (keys) {
+            k = keys[idx];
+        } else {
+            const uint8_t *p = rgb + 3 * idx;
+            k = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+        }
         /* multiplicative hashing must take the HIGH product bits: the low
          * bits are a permutation of k mod 2^SLG, and structured keys
          * (delta diffs) collide there en masse (measured 6.3 probes/elem
@@ -1673,12 +1767,14 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
             if (v == want) break;
             h = (h + 1) & smask;
         }
-        /* early exit once the radix regime is certain; this also bounds
-         * the sample table's load at 26000/2^15 = 79% so its own linear
-         * probing never degenerates near full */
-        if (ds > 26000) return -2;
+        if (ds > 26000) return ds; /* radix regime certain */
     }
+    return ds;
+}
 
+static int64_t hist_u32_hash(const uint32_t *keys, int64_t n, int64_t ds,
+                             uint32_t *uniq, int64_t *counts,
+                             int32_t *inverse) {
     /* tier choice (measured thresholds above; ucap keeps worst-case load
      * <= ~38% except the top tier, capped at the ~300k crossover) */
     int tlg;
@@ -1757,8 +1853,11 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n,
 EXPORT int64_t hist_u32(const uint32_t *keys, int64_t n,
                         uint32_t *uniq, int64_t *counts, int32_t *inverse) {
     if (n <= 0) return 0;
-    int64_t u = hist_u32_hash(keys, n, uniq, counts, inverse);
-    if (u >= 0) return u;
+    int64_t ds = hist_sample_ds(keys, NULL, n);
+    if (ds <= 26000) {
+        int64_t u = hist_u32_hash(keys, n, ds, uniq, counts, inverse);
+        if (u >= 0) return u;
+    }
     return hist_u32_radix(keys, n, uniq, counts, inverse);
 }
 

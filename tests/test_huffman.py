@@ -410,3 +410,28 @@ def test_encode_scratch_reuse_is_stateless(rng):
     assert np.array_equal(l1, l2)
     assert np.array_equal(native.huf_lens_unsorted(f_small),
                           native.huf_lens_unsorted(f_small))
+
+
+def test_hist_rgb_hash_bail_falls_to_msd_radix(rng):
+    """A stream whose stride sample under-estimates the unique count must
+    bail out of the hash tier mid-pass and produce identical output from
+    the MSD rgb24 radix engine: low-unique colors planted at the sample's
+    even-spread positions, near-all-distinct colors everywhere else."""
+    n = 400_000
+    px = np.empty((n, 3), np.uint8)
+    ids = np.arange(n, dtype=np.uint32) * 7  # many distinct 24-bit keys
+    px[:, 0] = (ids >> 16) & 0xFF
+    px[:, 1] = (ids >> 8) & 0xFF
+    px[:, 2] = ids & 0xFF
+    stride_pos = (np.arange(32768, dtype=np.int64) * n) // 32768
+    px[stride_pos] = [9, 9, 9]  # the sample sees ~1 unique -> tier 17
+    uniq, counts, inverse = native.hist_rgb(px)
+    keys = ((px[:, 0].astype(np.uint32) << 16)
+            | (px[:, 1].astype(np.uint32) << 8) | px[:, 2])
+    su = np.sort(np.unique(keys))
+    assert uniq.size > 49152  # really did exceed the tier's unique cap
+    assert np.array_equal(uniq, su)
+    assert np.array_equal(su[inverse], keys)
+    want_counts = np.zeros(su.size, np.int64)
+    np.add.at(want_counts, inverse, 1)
+    assert np.array_equal(counts, want_counts)
