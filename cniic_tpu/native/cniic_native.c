@@ -136,6 +136,9 @@ static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
 static int64_t hist_rgb24_radix(const uint8_t *rgb, int64_t n,
                                 uint32_t *uniq, int64_t *counts,
                                 int32_t *inverse);
+static int64_t hist_rgb24_radix_u32(const uint8_t *rgb, int64_t n,
+                                    uint32_t *uniq, int64_t *counts,
+                                    int32_t *inverse);
 
 /* ------------------------------------------------------------------ */
 /* gilbert: generalized Hilbert scan of an arbitrary rectangle          */
@@ -1245,6 +1248,8 @@ EXPORT int64_t hist_rgb(const uint8_t *rgb, int64_t n,
             if (u >= 0) return u;
         }
     }
+    if (n <= ((int64_t)1 << 20))
+        return hist_rgb24_radix_u32(rgb, n, uniq, counts, inverse);
     return hist_rgb24_radix(rgb, n, uniq, counts, inverse);
 }
 
@@ -1703,6 +1708,69 @@ static int64_t hist_rgb24_radix(const uint8_t *rgb, int64_t n,
         }
         for (int64_t j = s; j < e; j++)
             inverse[(uint32_t)a[j]] = rank12[(uint32_t)(a[j] >> 32) & 0xFFF];
+    }
+    return u;
+}
+
+/* u32-pair variant of hist_rgb24_radix for n <= 2^20 pixels (every
+ * 1024x1024 bench/corpus image, and anything smaller): the scattered
+ * (low12, pos) pair packs into one u32 (low12 << 20 | pos), halving the
+ * write bandwidth of the MSD scatter and the read bandwidth of the
+ * per-bucket pass — the two passes that dominate the radix regime on
+ * this host (measured r5: 17.5-22 ms/MP at ~400k uniques with u64
+ * pairs). Output bit-identical to hist_rgb24_radix (tests pin it). */
+static int64_t hist_rgb24_radix_u32(const uint8_t *rgb, int64_t n,
+                                    uint32_t *uniq, int64_t *counts,
+                                    int32_t *inverse) {
+    uint32_t *a = (uint32_t *)esc_get(ESC_PAIR_A, (size_t)n * sizeof(uint32_t));
+    int64_t *off = (int64_t *)esc_get(ESC_H16, 2 * 4097 * sizeof(int64_t));
+    if (!a || !off) return -1;
+    int64_t *bstart = off + 4097;
+    memset(off, 0, 4097 * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *p = rgb + 3 * i;
+        uint32_t hi = ((uint32_t)p[0] << 4) | (p[1] >> 4); /* key >> 12 */
+        off[hi + 1]++;
+    }
+    for (int j = 0; j < 4096; j++) off[j + 1] += off[j];
+    memcpy(bstart, off, 4097 * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *p = rgb + 3 * i;
+        uint32_t hi = ((uint32_t)p[0] << 4) | (p[1] >> 4);
+        uint32_t low = (((uint32_t)p[1] & 0xF) << 8) | p[2];
+        a[off[hi]++] = (low << 20) | (uint32_t)i;
+    }
+    uint32_t cnt12[4096];
+    int32_t rank12[4096];
+    uint64_t bitmap[64];
+    memset(cnt12, 0, sizeof cnt12);
+    memset(bitmap, 0, sizeof bitmap);
+    int64_t u = 0;
+    for (int b = 0; b < 4096; b++) {
+        int64_t s = bstart[b], e = bstart[b + 1];
+        if (s == e) continue;
+        for (int64_t j = s; j < e; j++) {
+            uint32_t low = a[j] >> 20;
+            if (cnt12[low]++ == 0)
+                bitmap[low >> 6] |= (uint64_t)1 << (low & 63);
+        }
+        uint32_t base = (uint32_t)b << 12;
+        for (int w = 0; w < 64; w++) {
+            uint64_t bits = bitmap[w];
+            while (bits) {
+                int t = __builtin_ctzll(bits);
+                bits &= bits - 1;
+                uint32_t low = (uint32_t)((w << 6) | t);
+                uniq[u] = base | low;
+                counts[u] = cnt12[low];
+                rank12[low] = (int32_t)u;
+                cnt12[low] = 0;
+                u++;
+            }
+            bitmap[w] = 0;
+        }
+        for (int64_t j = s; j < e; j++)
+            inverse[a[j] & 0xFFFFF] = rank12[a[j] >> 20];
     }
     return u;
 }

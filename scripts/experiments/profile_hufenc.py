@@ -45,19 +45,13 @@ def profile_one(img: np.ndarray) -> dict:
     ).reshape(-1, wire.RGB_WIRE_SIZE)
     t["leaf_wire"] = time.perf_counter() - t0
 
-    # build_codebook internals, split out
+    # build_codebook internals, split out (production fused-C-sort path)
     freqs = np.asarray(counts, dtype=np.uint64)
     t0 = time.perf_counter()
-    order = np.argsort(freqs, kind="stable")
-    t["argsort"] = time.perf_counter() - t0
+    lens = native.huf_lens_unsorted(freqs)
+    t["huf_lens_unsorted"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    lens_sorted = native.huf_lengths(freqs[order])
-    t["huf_lengths"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    lens = np.empty(freqs.size, dtype=np.uint32)
-    lens[order] = lens_sorted
     codes, tags, leaf_sym = native.huf_canonical(lens)
     t["huf_canonical"] = time.perf_counter() - t0
 

@@ -234,6 +234,25 @@ def test_hist_rgb_matches_numpy_pack(rng):
     np.testing.assert_array_equal(inverse, inverse2)
 
 
+def test_hist_rgb_u32_pair_tier_boundary(rng):
+    """The n <= 2^20 u32-pair MSD path (r5) must agree bit-for-bit with the
+    independent LSD u64 implementation on both sides of its size boundary,
+    in the radix regime (high uniques defeat the hash tier)."""
+    import numpy as np
+
+    from cniic_tpu import native
+    from cniic_tpu.ops import histogram
+
+    for n in ((1 << 20) - 3, 1 << 20, (1 << 20) + 5):
+        px = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        uniq, counts, inverse = native.hist_rgb(px)
+        uniq2, counts2, inverse2 = native.hist_u32(histogram.pack_colors(px))
+        assert uniq.shape[0] > 26_000  # really the radix regime
+        np.testing.assert_array_equal(uniq, uniq2)
+        np.testing.assert_array_equal(counts, counts2)
+        np.testing.assert_array_equal(inverse, inverse2)
+
+
 def test_delta_keys_matches_reference_recurrence(rng):
     import numpy as np
 
