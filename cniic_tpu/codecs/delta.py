@@ -33,12 +33,22 @@ def _keys_to_leafs(uniq_keys: np.ndarray) -> np.ndarray:
     return wire.i16_triplets_to_wire(uniq_diffs).reshape(-1, LEAF_SIZE)
 
 
+def _scan_stats(img: np.ndarray):
+    """(uniq keys, counts, inverse) of the Hilbert-scan diff keys; fused C
+    gather+diff+pack+histogram when the image is plain uint8 RGB (one pass
+    over the image — neither the 3n-byte scan nor the 4n-byte key array is
+    materialized in the hash regime)."""
+    h, w = img.shape[:2]
+    flat = img.reshape(h * w, -1)
+    if flat.dtype == np.uint8 and flat.shape[1] == 3 and flat.flags.c_contiguous:
+        return native.delta_hist_gather(flat, hilbert.scan_indices(w, h))
+    return histogram.key_histogram(native.delta_keys(hilbert.linearize(img)))
+
+
 class Delta(Codec):
     def encode(self, img: np.ndarray) -> bytes:
         h, w = img.shape[:2]
-        scan = hilbert.linearize(img)
-        keys = native.delta_keys(scan)  # fused diff+pack (C)
-        uniq, counts, inverse = histogram.key_histogram(keys)
+        uniq, counts, inverse = _scan_stats(img)
         leaf_payloads = _keys_to_leafs(uniq)
 
         stream = huffman.encode_stream(inverse.astype(np.int32), counts, leaf_payloads)
@@ -66,8 +76,11 @@ class Delta(Codec):
         if len(imgs) < 2:
             return [self.encode(img) for img in imgs]
 
-        keys = [native.delta_keys(hilbert.linearize(img)) for img in imgs]
-        streams = huffman.batch_encode(keys, _keys_to_leafs)
+        stats = [_scan_stats(img) for img in imgs]
+        streams = huffman.batch_encode_streams(
+            [inv for (_, _, inv) in stats],
+            [counts for (_, counts, _) in stats],
+            [_keys_to_leafs(uniq) for (uniq, _, _) in stats])
         return [
             wire.pack_dims(img.shape[1], img.shape[0]) + s
             for img, s in zip(imgs, streams)

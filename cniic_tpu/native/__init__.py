@@ -142,6 +142,10 @@ def _load() -> ctypes.CDLL:
         lib.hist_rgb.restype = i64
         lib.delta_keys.argtypes = [u8p, i64, u32p]
         lib.delta_keys.restype = None
+        lib.delta_keys_gather.argtypes = [u8p, i64p, i64, u32p]
+        lib.delta_keys_gather.restype = None
+        lib.delta_hist_gather.argtypes = [u8p, i64p, i64, u32p, i64p, i32p]
+        lib.delta_hist_gather.restype = i64
         lib.delta_unpack.argtypes = [u8p, i64, i32p, i64, i64p, u8p]
         lib.delta_unpack.restype = ctypes.c_int
         lib.rle_unframe_scatter.argtypes = [u8p, i64, i64p, i64, u8p]
@@ -254,6 +258,22 @@ def delta_keys(scan: np.ndarray) -> np.ndarray:
     return out
 
 
+def delta_keys_gather(flat: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """delta_keys fused with the curve gather: keys of flat[perm] without
+    materializing the (N, 3) scan (saves a 6-bytes/px write+re-read)."""
+    lib = _load()
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    if flat.shape[0] != perm.size:
+        raise ValueError("flat/perm length mismatch")
+    out = np.empty(perm.size, dtype=np.uint32)
+    lib.delta_keys_gather(_as_u8p(flat),
+                          perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                          perm.size,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
+
+
 def delta_unpack(payloads: np.ndarray, ids: np.ndarray,
                  perm: np.ndarray) -> np.ndarray:
     """Fused delta decode: 6-byte i16-LE leaves + symbol ids -> running
@@ -357,6 +377,31 @@ def hist_u32(keys: np.ndarray):
                      _as_i32p(inverse))
     if u < 0:
         raise MemoryError("hist_u32 failed")
+    return uniq[:u].copy(), counts[:u].copy(), inverse
+
+
+def delta_hist_gather(flat: np.ndarray, perm: np.ndarray):
+    """(uniq asc, counts i64, inverse i32) of the delta diff keys of
+    flat[perm] — curve gather + diff + pack + histogram fused in one C
+    pass (the 4n-byte key array is never materialized in the hash
+    regime). Output-identical to hist_u32(delta_keys_gather(flat, perm))."""
+    lib = _load()
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    n = perm.size
+    if flat.shape[0] != n:
+        raise ValueError("flat/perm length mismatch")
+    uniq = np.empty(n, dtype=np.uint32)
+    counts = np.empty(n, dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u = lib.delta_hist_gather(
+        _as_u8p(flat), perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, uniq.ctypes.data_as(u32p),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _as_i32p(inverse))
+    if u < 0:
+        raise MemoryError("delta_hist_gather failed")
     return uniq[:u].copy(), counts[:u].copy(), inverse
 
 

@@ -124,10 +124,13 @@ static void *esc_get(int slot, size_t bytes) {
     return esc_buf[slot];
 }
 
-/* histogram engines (defined with the Huffman section below) */
+/* histogram engines (defined with the Huffman section below); when perm
+ * is non-NULL the key stream is the delta codec's packed diff keys of
+ * rgb[perm[i]], computed inline (never materialized) */
 static int64_t hist_sample_ds(const uint32_t *keys, const uint8_t *rgb,
-                              int64_t n);
-static int64_t hist_u32_hash(const uint32_t *keys, int64_t n, int64_t ds,
+                              const int64_t *perm, int64_t n);
+static int64_t hist_u32_hash(const uint32_t *keys, const uint8_t *rgb,
+                             const int64_t *perm, int64_t n, int64_t ds,
                              uint32_t *uniq, int64_t *counts,
                              int32_t *inverse);
 static int64_t hist_u32_radix(const uint32_t *keys, int64_t n,
@@ -1235,7 +1238,7 @@ EXPORT int64_t hist_rgb(const uint8_t *rgb, int64_t n,
     if (n <= 0) return 0;
     /* the stride sample reads packed colors straight from the RGB bytes,
      * so the radix regime never materializes the 4 MB/MP key array */
-    int64_t ds = hist_sample_ds(NULL, rgb, n);
+    int64_t ds = hist_sample_ds(NULL, rgb, NULL, n);
     if (ds <= 26000) {
         uint32_t *keys = (uint32_t *)esc_get(ESC_KEYS,
                                              (size_t)n * sizeof(uint32_t));
@@ -1244,7 +1247,8 @@ EXPORT int64_t hist_rgb(const uint8_t *rgb, int64_t n,
                 const uint8_t *p = rgb + 3 * i;
                 keys[i] = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
             }
-            int64_t u = hist_u32_hash(keys, n, ds, uniq, counts, inverse);
+            int64_t u = hist_u32_hash(keys, NULL, NULL, n, ds,
+                                      uniq, counts, inverse);
             if (u >= 0) return u;
         }
     }
@@ -1260,6 +1264,29 @@ EXPORT void delta_keys(const uint8_t *scan, int64_t n, uint32_t *out) {
     int pr = 0, pg = 0, pb = 0;
     for (int64_t i = 0; i < n; i++) {
         const uint8_t *p = scan + 3 * i;
+        uint32_t dr = (uint32_t)(p[0] - pr + 255);
+        uint32_t dg = (uint32_t)(p[1] - pg + 255);
+        uint32_t db = (uint32_t)(p[2] - pb + 255);
+        out[i] = (dr << 18) | (dg << 9) | db;
+        pr = p[0];
+        pg = p[1];
+        pb = p[2];
+    }
+}
+
+/* delta_keys fused with the curve gather: diff keys straight off
+ * rgb[perm[i]] instead of materializing the 3n-byte scan first
+ * (gather_rgb + delta_keys wrote and re-read it; this reads the image
+ * once — unlike rle_frame_gather's run scan, the diff pass touches each
+ * pixel exactly once, so there is nothing to re-read and no buffer pays
+ * for itself). Identical output to delta_keys(gather_rgb(rgb, perm)) by
+ * construction (same (d+255) 9-bit packing, hilbertc.rs:442-445);
+ * pinned by tests. */
+EXPORT void delta_keys_gather(const uint8_t *rgb, const int64_t *perm,
+                              int64_t n, uint32_t *out) {
+    int pr = 0, pg = 0, pb = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t *p = rgb + 3 * perm[i];
         uint32_t dr = (uint32_t)(p[0] - pr + 255);
         uint32_t dg = (uint32_t)(p[1] - pg + 255);
         uint32_t db = (uint32_t)(p[2] - pb + 255);
@@ -1803,7 +1830,7 @@ static int64_t hist_rgb24_radix_u32(const uint8_t *rgb, int64_t n,
  * also bounds the sample table's load at 26000/2^15 = 79% so its own
  * linear probing never degenerates near full). */
 static int64_t hist_sample_ds(const uint32_t *keys, const uint8_t *rgb,
-                              int64_t n) {
+                              const int64_t *perm, int64_t n) {
     int64_t sn = n < 32768 ? n : 32768;
     enum { SLG = 15 };
     /* u64 slots so the k+1 "occupied" sentinel cannot wrap to the empty
@@ -1819,6 +1846,17 @@ static int64_t hist_sample_ds(const uint32_t *keys, const uint8_t *rgb,
         uint32_t k;
         if (keys) {
             k = keys[idx];
+        } else if (perm) {
+            /* delta diff key at scan position idx, computed in place */
+            const uint8_t *p = rgb + 3 * perm[idx];
+            int pr = 0, pg = 0, pb = 0;
+            if (idx > 0) {
+                const uint8_t *q = rgb + 3 * perm[idx - 1];
+                pr = q[0]; pg = q[1]; pb = q[2];
+            }
+            k = ((uint32_t)(p[0] - pr + 255) << 18) |
+                ((uint32_t)(p[1] - pg + 255) << 9) |
+                (uint32_t)(p[2] - pb + 255);
         } else {
             const uint8_t *p = rgb + 3 * idx;
             k = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
@@ -1840,7 +1878,8 @@ static int64_t hist_sample_ds(const uint32_t *keys, const uint8_t *rgb,
     return ds;
 }
 
-static int64_t hist_u32_hash(const uint32_t *keys, int64_t n, int64_t ds,
+static int64_t hist_u32_hash(const uint32_t *keys, const uint8_t *rgb,
+                             const int64_t *perm, int64_t n, int64_t ds,
                              uint32_t *uniq, int64_t *counts,
                              int32_t *inverse) {
     /* tier choice (measured thresholds above; ucap keeps worst-case load
@@ -1863,8 +1902,18 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n, int64_t ds,
     const uint32_t tmask = ((uint32_t)1 << tlg) - 1;
     const int tshift = 32 - tlg;
     int64_t u = 0;
+    int pr = 0, pg = 0, pb = 0; /* delta predecessor (perm mode) */
     for (int64_t i = 0; i < n; i++) {
-        uint32_t k = keys[i];
+        uint32_t k;
+        if (keys) {
+            k = keys[i];
+        } else {
+            const uint8_t *p = rgb + 3 * perm[i];
+            k = ((uint32_t)(p[0] - pr + 255) << 18) |
+                ((uint32_t)(p[1] - pg + 255) << 9) |
+                (uint32_t)(p[2] - pb + 255);
+            pr = p[0]; pg = p[1]; pb = p[2];
+        }
         uint32_t h = (uint32_t)(k * 2654435761u) >> tshift;
         for (;;) {
             uint64_t s = tab[h];
@@ -1921,11 +1970,36 @@ static int64_t hist_u32_hash(const uint32_t *keys, int64_t n, int64_t ds,
 EXPORT int64_t hist_u32(const uint32_t *keys, int64_t n,
                         uint32_t *uniq, int64_t *counts, int32_t *inverse) {
     if (n <= 0) return 0;
-    int64_t ds = hist_sample_ds(keys, NULL, n);
+    int64_t ds = hist_sample_ds(keys, NULL, NULL, n);
     if (ds <= 26000) {
-        int64_t u = hist_u32_hash(keys, n, ds, uniq, counts, inverse);
+        int64_t u = hist_u32_hash(keys, NULL, NULL, n, ds,
+                                  uniq, counts, inverse);
         if (u >= 0) return u;
     }
+    return hist_u32_radix(keys, n, uniq, counts, inverse);
+}
+
+/* Fully fused delta-encode statistics: curve gather + diff + pack +
+ * histogram in one pass — the 4n-byte key array is never materialized
+ * in the hash regime (sample and count both compute diff keys straight
+ * off rgb[perm[i]]). Identical output to
+ * hist_u32(delta_keys(gather_rgb(rgb, perm))) by construction; pinned by
+ * tests. High-unique streams (ds > 26000 or a hash bail) fall back to
+ * materializing the keys once into scratch and running the LSD radix. */
+EXPORT int64_t delta_hist_gather(const uint8_t *rgb, const int64_t *perm,
+                                 int64_t n, uint32_t *uniq, int64_t *counts,
+                                 int32_t *inverse) {
+    if (n <= 0) return 0;
+    int64_t ds = hist_sample_ds(NULL, rgb, perm, n);
+    if (ds <= 26000) {
+        int64_t u = hist_u32_hash(NULL, rgb, perm, n, ds,
+                                  uniq, counts, inverse);
+        if (u >= 0) return u;
+    }
+    uint32_t *keys = (uint32_t *)esc_get(ESC_KEYS,
+                                         (size_t)n * sizeof(uint32_t));
+    if (!keys) return -1;
+    delta_keys_gather(rgb, perm, n, keys);
     return hist_u32_radix(keys, n, uniq, counts, inverse);
 }
 

@@ -77,3 +77,41 @@ def test_compute_error_native_matches_numpy_chain(rng):
     ref = float((d.astype(np.float64) ** 2).sum()) / (33 * 47)
     assert compute_error(x, y) == ref
     assert compute_error(x, x) == 0.0
+
+
+def test_delta_keys_gather_matches_composition(rng):
+    # fused curve-gather + diff + pack == delta_keys(gather_rgb(...)),
+    # every shape class (odd dims, single pixel)
+    from cniic_tpu import hilbert
+    for (h, w) in ((1, 1), (3, 5), (64, 64), (100, 37)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        perm = hilbert.scan_indices(w, h)
+        ref = native.delta_keys(native.gather_rgb(img.reshape(-1, 3), perm))
+        got = native.delta_keys_gather(img.reshape(-1, 3), perm)
+        assert np.array_equal(ref, got)
+    with pytest.raises(ValueError):
+        native.delta_keys_gather(np.zeros((4, 3), np.uint8),
+                                 np.zeros(5, np.int64))
+
+
+def test_delta_hist_gather_matches_composition(rng):
+    # fused gather+diff+histogram == hist_u32(delta_keys(gather(...)))
+    # in BOTH regimes: smooth content stays in the hash tiers, uniform
+    # noise at 256x256 (~tens of thousands of distinct diff keys on the
+    # sample) exercises the materialize-then-radix fallback
+    from cniic_tpu import hilbert
+    smooth = (np.cumsum(rng.integers(-2, 3, (100, 37, 3)), axis=1)
+              % 256).astype(np.uint8)
+    noisy = rng.integers(0, 256, (256, 256, 3)).astype(np.uint8)
+    for img in (smooth, noisy):
+        h, w = img.shape[:2]
+        perm = hilbert.scan_indices(w, h)
+        keys = native.delta_keys(native.gather_rgb(img.reshape(-1, 3), perm))
+        ref = native.hist_u32(keys)
+        got = native.delta_hist_gather(img.reshape(-1, 3), perm)
+        for a, b in zip(ref, got):
+            assert np.array_equal(a, b)
+    # inverse reconstructs the key stream exactly
+    uniq, counts, inverse = got
+    assert np.array_equal(uniq[inverse], keys)
+    assert counts.sum() == keys.size
