@@ -51,7 +51,7 @@ class Delta(Codec):
         uniq, counts, inverse = _scan_stats(img)
         leaf_payloads = _keys_to_leafs(uniq)
 
-        stream = huffman.encode_stream(inverse.astype(np.int32), counts, leaf_payloads)
+        stream = huffman.encode_stream(inverse, counts, leaf_payloads)
         return wire.pack_dims(w, h) + stream
 
     def decode(self, data) -> np.ndarray:
@@ -71,9 +71,14 @@ class Delta(Codec):
         return img.reshape(h, w, 3)
 
     def encode_batch(self, imgs) -> list[bytes]:
-        """Batched device pipeline: Hilbert gather + diff on host (cheap),
-        sort/stats/pack on device (huffman.batch_encode)."""
-        if len(imgs) < 2:
+        """Batched device pipeline: fused C stats on host, pack batched on
+        device (huffman.batch_encode_streams). Host-packer runs take the
+        per-image lifecycle instead — the stage-major layout holds every
+        image's stats live at once and re-reads them cold (measured r5,
+        see Hufman.encode_batch)."""
+        import os
+
+        if len(imgs) < 2 or os.environ.get("CNIIC_DEVICE_BITPACK", "") != "1":
             return [self.encode(img) for img in imgs]
 
         stats = [_scan_stats(img) for img in imgs]

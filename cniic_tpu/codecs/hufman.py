@@ -45,8 +45,16 @@ class Hufman(Codec):
         """Batched encode: per-image fused C histogram (hist_rgb packs the
         24-bit keys in the same pass — the separate numpy key pack cost
         ~6.5 ms/MP, measured r4) + shared tree/pack stage
-        (huffman.batch_encode_streams)."""
-        if len(imgs) < 2:
+        (huffman.batch_encode_streams).
+
+        The stage-major layout only pays off when the device packer takes
+        the whole batch in one transfer; on the host path it holds every
+        image's multi-MB stats live at once and re-reads them cold
+        (33.8 vs 43.7 MP/s over 32 corpus images, measured r5), so the
+        per-image lifecycle wins there."""
+        import os
+
+        if len(imgs) < 2 or os.environ.get("CNIIC_DEVICE_BITPACK", "") != "1":
             return [self.encode(img) for img in imgs]
 
         from .. import trace

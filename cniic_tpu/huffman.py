@@ -142,8 +142,12 @@ def encode_stream(symbol_ids: np.ndarray, freqs: np.ndarray,
 
 
 def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
-    """Batched encode_all for pre-resolved symbol streams: per-stream tree
-    bytes (host, tiny) + device-batched bit packing.
+    """Batched encode_all for pre-resolved symbol streams.
+
+    With CNIIC_DEVICE_BITPACK=1: per-stream tree bytes (host, tiny) +
+    device-batched bit packing in one transfer. Host default: each stream
+    encodes end-to-end (tree + C pack) before the next — stage-major
+    re-reads every stream's multi-MB id array cold (measured r5).
 
     ids_list: per-stream int arrays of symbol ids (< the stream's alphabet).
     freqs_list: per-stream symbol frequencies (the codebook input).
@@ -156,6 +160,20 @@ def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
     if not ids_list:
         return []
     B = len(ids_list)
+    if os.environ.get("CNIIC_DEVICE_BITPACK", "") != "1":
+        # host packer: one stream end-to-end at a time. The stage-major
+        # layout below exists for the device path's batched transfer; on
+        # the host it re-reads every stream's multi-MB id array long
+        # after it went cold (32 corpus images hold ~130 MB live), which
+        # measured 12.9 vs 5.0 ms/MP on the pack stage alone (r5).
+        out = []
+        with trace.span("huffman.encode"):
+            for sym, freqs, leafs in zip(ids_list, freqs_list, leafs_list):
+                book = build_codebook(freqs)
+                out.append(serialize_tree(book, leafs) +
+                           native.pack_bits(book.codes, book.lens,
+                                            np.asarray(sym, np.int32)))
+        return out
     books = []
     trees = []
     with trace.span("huffman.trees"):
@@ -165,37 +183,29 @@ def batch_encode_streams(ids_list, freqs_list, leafs_list) -> list[bytes]:
             trees.append(serialize_tree(book, leafs))
 
     with trace.span("huffman.pack"):
-        if os.environ.get("CNIIC_DEVICE_BITPACK", "") == "1":
-            from .ops import bitpack
-            from .ops.bitpack import _bucket
+        from .ops import bitpack
+        from .ops.bitpack import _bucket
 
-            n_pad = _bucket(max(i.size for i in ids_list))
-            u_pad = max(_bucket(max(f.size for f in freqs_list)), 256) + 1
-            # uint16 ids when every alphabet (incl. the per-image padding
-            # id u) fits: halves the dominant host->device transfer
-            id_dtype = np.uint16 if u_pad <= 0xFFFF else np.int32
-            ids = np.zeros((B, n_pad), dtype=id_dtype)
-            codes = np.zeros((B, u_pad), dtype=np.uint64)
-            lens = np.zeros((B, u_pad), dtype=np.uint32)
-            total_bits = []
-            for i, (sym, freqs, book) in enumerate(
-                    zip(ids_list, freqs_list, books)):
-                u = freqs.size
-                codes[i, :u] = book.codes
-                lens[i, :u] = book.lens
-                ids[i, : sym.size] = sym
-                ids[i, sym.size :] = u  # padding -> zero-length code
-                # payload size is known before the device packs a single
-                # bit (sum freq*len) — saves the bit-count fetch round trip
-                total_bits.append(int(np.asarray(freqs, np.uint64) @ book.lens))
-            payloads = bitpack.pack_bits_batch(ids, codes, lens, total_bits)
-        else:
-            # host C packer: no padding, no transposed codebook matrices —
-            # each stream packs straight from its own codebook
-            payloads = [
-                native.pack_bits(book.codes, book.lens,
-                                 np.asarray(sym, np.int32))
-                for sym, book in zip(ids_list, books)]
+        n_pad = _bucket(max(i.size for i in ids_list))
+        u_pad = max(_bucket(max(f.size for f in freqs_list)), 256) + 1
+        # uint16 ids when every alphabet (incl. the per-image padding
+        # id u) fits: halves the dominant host->device transfer
+        id_dtype = np.uint16 if u_pad <= 0xFFFF else np.int32
+        ids = np.zeros((B, n_pad), dtype=id_dtype)
+        codes = np.zeros((B, u_pad), dtype=np.uint64)
+        lens = np.zeros((B, u_pad), dtype=np.uint32)
+        total_bits = []
+        for i, (sym, freqs, book) in enumerate(
+                zip(ids_list, freqs_list, books)):
+            u = freqs.size
+            codes[i, :u] = book.codes
+            lens[i, :u] = book.lens
+            ids[i, : sym.size] = sym
+            ids[i, sym.size :] = u  # padding -> zero-length code
+            # payload size is known before the device packs a single
+            # bit (sum freq*len) — saves the bit-count fetch round trip
+            total_bits.append(int(np.asarray(freqs, np.uint64) @ book.lens))
+        payloads = bitpack.pack_bits_batch(ids, codes, lens, total_bits)
     return [t + p for t, p in zip(trees, payloads)]
 
 
