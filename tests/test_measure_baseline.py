@@ -63,3 +63,50 @@ def test_images_mode_empty_glob_fails(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "measure_baseline.py", f"--images={tmp_path}/nothing/*.png"])
     assert mb.main() == 1
+
+
+def test_only_splice_preserves_untouched_legs(tmp_path, rng, monkeypatch):
+    """--only=<leg>: re-measures just the named legs and splices them into
+    the existing file — every other denominator (and the corpus record)
+    must come through byte-identical (the r5 baseline-refresh protocol:
+    re-rolling all nine would replace the k-means denominators that
+    dominate the suite estimate with fresh noise)."""
+    for i in range(4):
+        img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        image_io.save_png(img, tmp_path / f"c_{i}.png")
+
+    import bench
+    monkeypatch.setattr(bench, "SUITE",
+                        [("hufman", 24, 3), ("delta", 24, 3)])
+    monkeypatch.setattr(mb, "_CORPUS_DEFAULT_N", 2)
+    out_name = "BASELINE_TEST_ONLY.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(repo, out_name)
+    try:
+        monkeypatch.setattr(sys, "argv", [
+            "measure_baseline.py", f"--images={tmp_path}/*.png",
+            f"--out={out_name}"])
+        assert mb.main() == 0
+        doc = json.load(open(out_path))
+        # plant sentinels: the splice must keep the untouched leg verbatim
+        doc["per_codec"]["Hufman"] = {"encode_mps": 123.0,
+                                      "decode_mps": 456.0}
+        json.dump(doc, open(out_path, "w"))
+
+        monkeypatch.setattr(sys, "argv", [
+            "measure_baseline.py", f"--images={tmp_path}/*.png",
+            f"--out={out_name}", "--only=delta"])
+        assert mb.main() == 0
+        doc2 = json.load(open(out_path))
+        assert doc2["per_codec"]["Hufman"] == {"encode_mps": 123.0,
+                                               "decode_mps": 456.0}
+        assert doc2["per_codec"]["delta"]["encode_mps"] > 0
+        assert doc2["corpus"] == doc["corpus"]
+
+        # a leg not present in the file is a hard error, not a silent add
+        monkeypatch.setattr(sys, "argv", [
+            "measure_baseline.py", f"--images={tmp_path}/*.png",
+            f"--out={out_name}", "--only=zip-back"])
+        assert mb.main() == 1
+    finally:
+        os.remove(out_path)
